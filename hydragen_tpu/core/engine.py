@@ -1,0 +1,508 @@
+"""HydragenLlama: the generation engine (reference-parity API, TPU execution).
+
+Counterpart of ``HydragenLlamaForCausalLM`` (/root/reference/hydragen/llama.py:875-1422):
+``setup_caches`` / ``append_shared`` / ``process_unique`` / ``generate`` with
+``shared_cache_op``, ``starting_logits``, ``return_logits``,
+``token_overrides`` and the ``disable_*`` benchmark flags.
+
+Execution model: every mode (shared prefill / unique prefill / the whole
+multi-token decode loop) is one jitted function over functional pytrees with
+donated cache buffers. Specialization is keyed on static attributes — mode,
+active level count, per-level filled lengths, disable flags — the same key
+set the reference's CUDA-graph wrapper checks before re-capturing
+(llama.py:797-810); a changed key here simply compiles a new program, cached
+thereafter. The decode loop is a ``lax.scan`` over steps (sampling included),
+the TPU equivalent of replaying a captured decode graph with zero host
+overhead per token.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydragen_tpu.core.cache import (
+    KVCache,
+    allocate_cache,
+    copy_shared_to_unique,
+    fill_shared_level,
+    repeat_unique_for_samples,
+    shared_len_for_batch,
+    update_unique_decode,
+    update_unique_prefill,
+)
+from hydragen_tpu.models.config import ModelConfig
+from hydragen_tpu.models.llama import (
+    ForwardSpec,
+    logits_from_hidden,
+    model_forward,
+)
+
+
+class SharedCacheOp:
+    WIPE = "wipe"
+    EXTEND = "extend"
+    PRESERVE = "preserve"
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+def apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
+    """HF TopPLogitsWarper semantics (llama.py:999-1023): keep the smallest
+    set of top tokens with cumulative prob > top_p (at least one)."""
+    sorted_idx = jnp.argsort(logits, axis=-1)  # ascending
+    sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum <= (1.0 - top_p)
+    remove_sorted = remove_sorted.at[..., -1:].set(False)
+    remove = jnp.zeros_like(remove_sorted)
+    remove = jnp.put_along_axis(remove, sorted_idx, remove_sorted, axis=-1, inplace=False)
+    return jnp.where(remove, -jnp.inf, logits)
+
+
+def sample_from_logits(
+    logits: jax.Array,
+    rng: jax.Array,
+    temperature: float,
+    top_p: Optional[float],
+    num_samples: int = 1,
+) -> jax.Array:
+    """Sample ``[b, num_samples]`` token ids (llama.py:1025-1046)."""
+    if top_p is not None:
+        logits = apply_top_p(logits, top_p)
+    if temperature == 0:
+        tok = jnp.argmax(logits, axis=-1, keepdims=True)
+        return jnp.repeat(tok, num_samples, axis=-1)
+    b = logits.shape[0]
+    samples = jax.random.categorical(
+        rng, logits / temperature, shape=(num_samples, b)
+    )
+    return samples.T.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Jitted steps
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "spec", "full_logits", "has_pad"),
+    donate_argnames=("cache",),
+)
+def _shared_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, full_logits, has_pad):
+    b, t = input_ids.shape
+    shared_lens = shared_len_for_batch(cache, spec.num_used_levels, b)
+    if has_pad:
+        local_pos = jnp.minimum(jnp.arange(t)[None, :], seq_lens[:, None] - 1)
+    else:
+        seq_lens = jnp.full((b,), t, dtype=jnp.int32)
+        local_pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)).astype(jnp.int32)
+    pos = shared_lens[:, None] + local_pos
+
+    hidden, nk, nv = model_forward(params, cfg, cache, input_ids, pos, local_pos, spec)
+    cache = fill_shared_level(cache, spec.num_used_levels, nk, nv, seq_lens)
+    logits = logits_from_hidden(
+        params, cfg, hidden, seq_lens if has_pad else None, full_logits
+    )
+    return logits, cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "spec", "has_pad"),
+    donate_argnames=("cache",),
+)
+def _unique_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, has_pad):
+    b, t = input_ids.shape
+    shared_lens = shared_len_for_batch(cache, spec.num_used_levels, b)
+    pos = shared_lens[:, None] + jnp.arange(t)[None, :]
+    if spec.disable_hydragen:
+        # Shared prefix was copied to the front of the unique cache; unique
+        # positions are global and the copied prefix is attention "history".
+        unique_pos = pos
+        history_lens = shared_lens
+    else:
+        unique_pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)).astype(jnp.int32)
+        history_lens = None
+
+    hidden, nk, nv = model_forward(
+        params, cfg, cache, input_ids, pos, unique_pos, spec,
+        history_lens=history_lens,
+    )
+    if spec.disable_hydragen:
+        # All rows share one prefix length (enforced by generate): contiguous
+        # block update at a dynamic offset.
+        cache = cache._replace(
+            unique_k=jax.lax.dynamic_update_slice(
+                cache.unique_k, nk.astype(cache.unique_k.dtype),
+                (0, 0, 0, shared_lens[0], 0),
+            ),
+            unique_v=jax.lax.dynamic_update_slice(
+                cache.unique_v, nv.astype(cache.unique_v.dtype),
+                (0, 0, 0, shared_lens[0], 0),
+            ),
+        )
+    else:
+        cache = update_unique_prefill(cache, nk, nv)
+    logits = logits_from_hidden(params, cfg, hidden, seq_lens if has_pad else None)
+    return logits, cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "spec", "steps", "temperature", "top_p", "use_overrides",
+        "return_logits",
+    ),
+    donate_argnames=("cache",),
+)
+def _decode_steps(
+    params, cache, first_token, start_pos, start_unique_pos, rng,
+    overrides, cfg, spec, steps, temperature, top_p, use_overrides,
+    return_logits,
+):
+    """The hot loop (llama.py:1351-1380) as a single scanned program."""
+
+    def step(carry, xs):
+        cache, tok, rng, i = carry
+        override = xs
+        pos = (start_pos + i)[:, None]
+        upos = start_unique_pos + i
+        hidden, nk, nv = model_forward(
+            params, cfg, cache, tok, pos, upos[:, None], spec,
+            history_lens=upos,
+        )
+        cache = update_unique_decode(cache, upos, nk, nv)
+        logits = logits_from_hidden(params, cfg, hidden)[:, 0]
+        rng, sub = jax.random.split(rng)
+        nxt = sample_from_logits(logits, sub, temperature, top_p, 1)
+        tok_next = override[:, None] if use_overrides else nxt
+        out = (nxt[:, 0], logits) if return_logits else (nxt[:, 0], jnp.zeros((0,), jnp.float32))
+        return (cache, tok_next, rng, i + 1), out
+
+    init = (cache, first_token, rng, jnp.int32(0))
+    (cache, _, _, _), (toks, logits_seq) = jax.lax.scan(step, init, overrides, length=steps)
+    return toks.T, logits_seq, cache  # toks [b, steps]
+
+
+@partial(jax.jit, static_argnames=("num_used", "batch_size"), donate_argnames=())
+def _shared_len(cache, num_used, batch_size):
+    return shared_len_for_batch(cache, num_used, batch_size)
+
+
+_copy_shared_to_unique = jax.jit(
+    copy_shared_to_unique, static_argnames=("total_num_sequences",),
+    donate_argnames=("cache",),
+)
+_repeat_unique = jax.jit(
+    repeat_unique_for_samples, static_argnames=("current_size", "num_samples"),
+    donate_argnames=("cache",),
+)
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+class HydragenLlama:
+    """Stateful wrapper: params + cache + host-side level stack discipline."""
+
+    def __init__(self, config: ModelConfig, params, impl: Optional[str] = None):
+        self.config = config
+        self.params = params
+        self.impl = impl
+        self.cache: Optional[KVCache] = None
+        self.num_used_levels = 0
+        self.level_filled: List[int] = []
+        self._disable_hydragen = False
+        self._disable_attention = False
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, model_name_or_path: str, dtype: str = "bfloat16", **kw):
+        from hydragen_tpu.models import hf
+
+        cfg, params = hf.from_pretrained(model_name_or_path, dtype=dtype)
+        return cls(cfg, params, **kw)
+
+    @classmethod
+    def from_hf_model(cls, hf_model, dtype: str = "bfloat16", **kw):
+        from hydragen_tpu.models import hf
+
+        cfg, params = hf.from_hf_model(hf_model, dtype=dtype)
+        return cls(cfg, params, **kw)
+
+    # -- cache management (llama.py:921-955, 1048-1071) ---------------------
+
+    def setup_caches(
+        self,
+        max_unique_batch_size: int,
+        max_unique_seq_length: int,
+        max_shared_batch_sizes: Sequence[int] = (),
+        max_shared_seq_lengths: Sequence[int] = (),
+        cache_dtype=None,
+    ):
+        cfg = self.config
+        # Round up so decode-kernel KV blocks tile cleanly.
+        max_unique_seq_length = -(-max_unique_seq_length // 16) * 16
+        self.cache = allocate_cache(
+            cfg.num_hidden_layers,
+            max_unique_batch_size,
+            max_unique_seq_length,
+            list(max_shared_batch_sizes),
+            list(max_shared_seq_lengths),
+            cfg.num_key_value_heads,
+            cfg.head_dim,
+            dtype=cache_dtype or cfg.jax_dtype,
+        )
+        self.num_used_levels = 0
+        self.level_filled = []
+
+    def empty_shared_cache(self):
+        self.truncate_shared_caches(0)
+
+    def truncate_shared_caches(self, new_num: int):
+        assert new_num <= len(self.cache.shared)
+        self.num_used_levels = min(new_num, self.num_used_levels)
+        self.level_filled = self.level_filled[: self.num_used_levels]
+
+    def get_shared_cache_len(self, batch_size: int) -> jax.Array:
+        return _shared_len(self.cache, self.num_used_levels, batch_size)
+
+    def get_num_used_shared_caches(self) -> int:
+        return self.num_used_levels
+
+    # -- specs --------------------------------------------------------------
+
+    def _spec(self, mode: str, unique_history: bool) -> ForwardSpec:
+        # Note: when disable_hydragen is set the levels are still carried in
+        # the spec (position bookkeeping needs shared lengths) but the layer
+        # body skips the level partials — XLA dead-code-eliminates the reads.
+        return ForwardSpec(
+            mode=mode,
+            num_used_levels=self.num_used_levels,
+            level_filled=tuple(self.level_filled),
+            unique_history=unique_history,
+            unique_filled=self.cache.max_unique_seq_len if unique_history else 0,
+            disable_hydragen=self._disable_hydragen,
+            disable_attention=self._disable_attention,
+            impl=self.impl,
+        )
+
+    # -- prefill entry points (llama.py:1073-1145) --------------------------
+
+    def append_shared(self, input_ids, seq_lens=None, full_logits: bool = False):
+        """Prefill a new shared level; returns its last-token logits."""
+        assert self.cache is not None, "call setup_caches first"
+        assert self.num_used_levels < len(self.cache.shared), "no free shared level"
+        input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
+        has_pad = seq_lens is not None
+        if has_pad:
+            seq_lens = jnp.asarray(seq_lens, dtype=jnp.int32)
+        spec = ForwardSpec(
+            mode="shared_prefill",
+            num_used_levels=self.num_used_levels,
+            level_filled=tuple(self.level_filled),
+            unique_history=False,
+            unique_filled=0,
+            disable_hydragen=False,
+            disable_attention=self._disable_attention,
+            impl=self.impl,
+        )
+        logits, self.cache = _shared_prefill_step(
+            self.params, self.cache, input_ids, seq_lens, self.config, spec,
+            full_logits, has_pad,
+        )
+        self.num_used_levels += 1
+        self.level_filled.append(int(input_ids.shape[1]))
+        return logits
+
+    def process_unique(self, input_ids, seq_lens=None):
+        """Prefill per-sequence suffixes into the unique cache."""
+        assert self.cache is not None
+        input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
+        has_pad = seq_lens is not None
+        if has_pad:
+            seq_lens = jnp.asarray(seq_lens, dtype=jnp.int32)
+        spec = self._spec(
+            "unique_prefill",
+            unique_history=self._disable_hydragen and self.num_used_levels > 0,
+        )
+        logits, self.cache = _unique_prefill_step(
+            self.params, self.cache, input_ids, seq_lens, self.config, spec, has_pad
+        )
+        return logits
+
+    # -- generation (llama.py:1156-1396) -------------------------------------
+
+    def generate(
+        self,
+        input_ids: Union[None, jax.Array, np.ndarray, list] = None,
+        seq_lens=None,
+        starting_logits=None,
+        num_return_sequences: int = 1,
+        max_new_tokens: int = 5,
+        temperature: float = 1.0,
+        top_p: Optional[float] = None,
+        eos_token_id: Optional[int] = None,
+        return_logits: bool = False,
+        shared_cache_op: str = SharedCacheOp.PRESERVE,
+        disable_hydragen: bool = False,
+        disable_attention: bool = False,
+        disable_hierarchy: bool = False,
+        token_overrides=None,
+        seed: int = 0,
+    ):
+        assert self.cache is not None, "call setup_caches first"
+        assert (input_ids is None) or (starting_logits is None)
+        assert not (input_ids is None and starting_logits is None)
+        if temperature < 0:
+            raise ValueError(f"temperature must be non-negative, got {temperature}")
+
+        if input_ids is None:
+            input_ids = []
+        if isinstance(input_ids, (jnp.ndarray, np.ndarray)):
+            input_ids = [input_ids]
+        input_ids = [jnp.asarray(x, dtype=jnp.int32) for x in input_ids]
+
+        if disable_attention:
+            self._disable_attention = True
+
+        if shared_cache_op == SharedCacheOp.WIPE:
+            self.empty_shared_cache()
+
+        og_levels = self.num_used_levels
+
+        num_new_levels = len(input_ids) + (1 if num_return_sequences > 1 else 0)
+        total_levels = og_levels + num_new_levels
+        if disable_hydragen:
+            assert total_levels == 2, "disable_hydragen supports exactly 2 levels"
+            if len(input_ids) >= 1 and (num_return_sequences > 1 or len(input_ids) == 2):
+                assert input_ids[0].shape[0] == 1
+        if disable_hierarchy:
+            assert total_levels == 3 and num_return_sequences > 1
+
+        if seq_lens is None:
+            seq_lens = [None] * len(input_ids)
+        elif isinstance(seq_lens, (jnp.ndarray, np.ndarray)):
+            seq_lens = [seq_lens]
+
+        if len(input_ids) > 0:
+            total_batch = int(input_ids[-1].shape[0]) * num_return_sequences
+        else:
+            total_batch = int(starting_logits.shape[0]) * num_return_sequences
+
+        # Hierarchy split (llama.py:1277-1288).
+        if num_return_sequences > 1 and not (disable_hierarchy or disable_hydragen):
+            shared_ids, shared_lens_in = input_ids, seq_lens
+            suffix_ids, suffix_lens = None, None
+        elif len(input_ids) > 0:
+            shared_ids, shared_lens_in = input_ids[:-1], seq_lens[:-1]
+            suffix_ids, suffix_lens = input_ids[-1], seq_lens[-1]
+        else:
+            shared_ids, shared_lens_in, suffix_ids, suffix_lens = [], [], None, None
+
+        if starting_logits is not None:
+            starting_logits = jnp.asarray(starting_logits)[:, None, :]
+
+        for sid, slen in zip(shared_ids, shared_lens_in):
+            starting_logits = self.append_shared(sid, slen)
+
+        if disable_hydragen:
+            self._disable_hydragen = True
+            if self.num_used_levels > 0:
+                self.cache = _copy_shared_to_unique(self.cache, total_batch)
+
+        if suffix_ids is not None:
+            starting_logits = self.process_unique(suffix_ids, suffix_lens)
+            suffix_batch = int(suffix_ids.shape[0])
+            if num_return_sequences > 1:
+                self.cache = _repeat_unique(
+                    self.cache, suffix_batch, num_return_sequences
+                )
+
+        # First token (llama.py:1310-1320).
+        rng = jax.random.PRNGKey(seed)
+        rng, sub = jax.random.split(rng)
+        prefill_logits = starting_logits[:, -1]
+        raw_first = sample_from_logits(
+            prefill_logits, sub, temperature, top_p, num_return_sequences
+        )
+        first_token = raw_first.reshape(-1, 1)  # [total_batch, 1]
+
+        logits_out = None
+        if return_logits:
+            logits_out = [jnp.repeat(prefill_logits, num_return_sequences, axis=0)]
+
+        # Decode start positions (llama.py:1327-1335).
+        start_pos = self.get_shared_cache_len(total_batch).astype(jnp.int32)
+        if suffix_ids is not None:
+            if suffix_lens is not None:
+                sl = jnp.asarray(suffix_lens, dtype=jnp.int32)
+            else:
+                sl = jnp.full((suffix_ids.shape[0],), suffix_ids.shape[1], jnp.int32)
+            start_pos = start_pos + jnp.repeat(sl, num_return_sequences)
+        if disable_hydragen:
+            start_unique_pos = start_pos
+        elif suffix_ids is not None:
+            start_unique_pos = jnp.repeat(sl, num_return_sequences).astype(jnp.int32)
+        else:
+            start_unique_pos = jnp.zeros((total_batch,), dtype=jnp.int32)
+
+        use_overrides = token_overrides is not None
+        if use_overrides:
+            token_overrides = jnp.asarray(token_overrides, dtype=jnp.int32)
+            input_first = token_overrides[:, 0:1]
+            overrides_xs = token_overrides[:, 1:max_new_tokens].T
+        else:
+            input_first = first_token
+            overrides_xs = jnp.zeros((max_new_tokens - 1, total_batch), jnp.int32)
+
+        steps = max_new_tokens - 1
+        if steps > 0:
+            spec = self._spec("decode", unique_history=True)
+            toks, step_logits, self.cache = _decode_steps(
+                self.params, self.cache, input_first, start_pos,
+                start_unique_pos, rng, overrides_xs, self.config, spec, steps,
+                temperature, top_p, use_overrides, return_logits,
+            )
+            tokens = jnp.concatenate([first_token, toks], axis=1)
+            if return_logits:
+                logits_out.extend(list(step_logits))
+        else:
+            tokens = first_token
+
+        # EOS early-stop semantics (llama.py:1337-1373): reference breaks the
+        # loop when all rows have finished, without appending the final
+        # sampled token; replicate by truncating.
+        if eos_token_id is not None and tokens.shape[1] > 1:
+            tokens_np = np.asarray(tokens)
+            finished = tokens_np[:, 0:1] == eos_token_id
+            keep = 1
+            for j in range(1, tokens_np.shape[1]):
+                finished = finished | (tokens_np[:, j : j + 1] == eos_token_id)
+                if finished.all():
+                    break  # reference breaks *before* appending this token
+                keep = j + 1
+            tokens = jnp.asarray(tokens_np[:, :keep])
+            if return_logits:
+                logits_out = logits_out[:keep]
+
+        # Epilogue (llama.py:1384-1391).
+        if shared_cache_op == SharedCacheOp.PRESERVE:
+            self.truncate_shared_caches(og_levels)
+        if disable_hydragen:
+            self._disable_hydragen = False
+        if disable_attention:
+            self._disable_attention = False
+
+        if return_logits:
+            return tokens, logits_out
+        return tokens

@@ -1,0 +1,90 @@
+"""HuggingFace checkpoint transplant into the JAX param pytree.
+
+Counterpart of the reference's ``from_pretrained`` state-dict transplant
+(``/root/reference/hydragen/llama.py:1398-1422``): take a transformers
+``LlamaForCausalLM`` (or just its state dict) and produce the stacked-layer
+param pytree used by ``hydragen_tpu.models.llama``.
+
+Weight orientation: torch ``nn.Linear`` stores ``[out, in]``; our einsums use
+``[in, out]``, so every projection is transposed once at load time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from hydragen_tpu.models.config import ModelConfig
+
+
+def _to_np(t):
+    # torch tensor (cpu) or numpy array -> numpy
+    if hasattr(t, "detach"):
+        t = t.detach().to("cpu")
+        try:
+            return t.numpy()
+        except TypeError:
+            # bf16 torch tensors can't go straight to numpy
+            return t.float().numpy()
+    return np.asarray(t)
+
+
+def params_from_hf_state_dict(state_dict, cfg: ModelConfig):
+    """Convert a HF Llama state dict to the stacked param pytree."""
+    dt = cfg.jax_dtype
+    L = cfg.num_hidden_layers
+
+    def get(name):
+        return _to_np(state_dict[name])
+
+    def stack(fmt, transpose=False):
+        mats = [get(fmt.format(i)) for i in range(L)]
+        arr = np.stack([m.T if transpose else m for m in mats])
+        return jnp.asarray(arr, dtype=dt)
+
+    params = {
+        "embed_tokens": jnp.asarray(get("model.embed_tokens.weight"), dtype=dt),
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype=dt),
+        "layers": {
+            "input_norm": stack("model.layers.{}.input_layernorm.weight"),
+            "post_attn_norm": stack("model.layers.{}.post_attention_layernorm.weight"),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight", transpose=True),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight", transpose=True),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight", transpose=True),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight", transpose=True),
+            "gate": stack("model.layers.{}.mlp.gate_proj.weight", transpose=True),
+            "up": stack("model.layers.{}.mlp.up_proj.weight", transpose=True),
+            "down": stack("model.layers.{}.mlp.down_proj.weight", transpose=True),
+        },
+    }
+    if cfg.attention_bias:
+        params["layers"]["bq"] = stack("model.layers.{}.self_attn.q_proj.bias")
+        params["layers"]["bk"] = stack("model.layers.{}.self_attn.k_proj.bias")
+        params["layers"]["bv"] = stack("model.layers.{}.self_attn.v_proj.bias")
+        params["layers"]["bo"] = stack("model.layers.{}.self_attn.o_proj.bias")
+
+    if "lm_head.weight" in state_dict:
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=dt)
+    else:
+        assert cfg.tie_word_embeddings
+        params["lm_head"] = params["embed_tokens"].T
+    return params
+
+
+def from_hf_model(hf_model, dtype: str = "bfloat16"):
+    """(config, params) from an in-memory transformers LlamaForCausalLM."""
+    cfg = ModelConfig.from_hf_config(hf_model.config, dtype=dtype)
+    params = params_from_hf_state_dict(hf_model.state_dict(), cfg)
+    return cfg, params
+
+
+def from_pretrained(model_name_or_path: str, dtype: str = "bfloat16"):
+    """Load a HF checkpoint from disk/hub and convert.
+
+    Mirrors ``HydragenLlamaForCausalLM.from_pretrained`` (llama.py:1398-1422).
+    """
+    from transformers import AutoModelForCausalLM
+
+    hf_model = AutoModelForCausalLM.from_pretrained(model_name_or_path)
+    return from_hf_model(hf_model, dtype=dtype)

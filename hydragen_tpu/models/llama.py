@@ -1,0 +1,306 @@
+"""Functional JAX Llama stack with Hydragen attention.
+
+TPU-native re-design of the reference model layer
+(``/root/reference/hydragen/llama.py:349-765``). Differences by design:
+
+- **Pure functions over pytrees**: params and caches are pytrees; the whole
+  forward (all modes) jits into one XLA program. The reference's CUDA-graph
+  wrapper (llama.py:768-866) is replaced by jit specialization keyed on the
+  same static attributes (mode, active level count/shapes, disable flags).
+- **lax.scan over layers** with stacked per-layer weights: one compiled layer
+  body regardless of depth, fast compiles, and XLA pipelines weight prefetch.
+- **Uniform attention decomposition**: in every mode, attention is computed
+  as LSE-mergeable partials — active shared levels + previously-written
+  unique cache (length-masked) + a causal self-attend over the *current*
+  input's KV. This removes the reference's scatter-before-attend ordering
+  (llama.py:564-587): new KVs are returned from the scan and scattered into
+  the unique cache once, for all layers, afterwards.
+- RoPE is applied at the **global** position while KV is stored at the
+  position minus the shared length, mirroring llama.py:487-501.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hydragen_tpu.models.config import ModelConfig
+from hydragen_tpu.ops.combine import combine_lse
+from hydragen_tpu.ops.hydragen import (
+    _attention,
+    _pick_impl,
+    fold_queries_for_shared,
+    unfold_shared_lse,
+    unfold_shared_out,
+)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization / structure
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: ModelConfig, key: jax.Array):
+    """Random-init params (for tests and benchmarks without checkpoints)."""
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    L = cfg.num_hidden_layers
+    Hq = cfg.num_attention_heads * cfg.head_dim
+    Hkv = cfg.num_key_value_heads * cfg.head_dim
+    dt = cfg.jax_dtype
+
+    keys = jax.random.split(key, 12)
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, dtype=jnp.float32) / math.sqrt(fan_in)).astype(dt)
+
+    params = {
+        "embed_tokens": dense(keys[0], (V, H), H),
+        "final_norm": jnp.ones((H,), dtype=dt),
+        "lm_head": dense(keys[1], (H, V), H),
+        "layers": {
+            "input_norm": jnp.ones((L, H), dtype=dt),
+            "post_attn_norm": jnp.ones((L, H), dtype=dt),
+            "wq": dense(keys[2], (L, H, Hq), H),
+            "wk": dense(keys[3], (L, H, Hkv), H),
+            "wv": dense(keys[4], (L, H, Hkv), H),
+            "wo": dense(keys[5], (L, Hq, H), Hq),
+            "gate": dense(keys[6], (L, H, I), H),
+            "up": dense(keys[7], (L, H, I), H),
+            "down": dense(keys[8], (L, I, H), I),
+        },
+    }
+    if cfg.attention_bias:
+        params["layers"]["bq"] = jnp.zeros((L, Hq), dtype=dt)
+        params["layers"]["bk"] = jnp.zeros((L, Hkv), dtype=dt)
+        params["layers"]["bv"] = jnp.zeros((L, Hkv), dtype=dt)
+        params["layers"]["bo"] = jnp.zeros((L, H), dtype=dt)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_cos_sin(cfg: ModelConfig, position_ids: jax.Array):
+    """cos/sin tables at the given positions, HF-llama convention.
+
+    position_ids: ``[b, t]`` int. Returns cos, sin ``[b, t, head_dim]``
+    (half-frequencies duplicated, matching HF's ``cat(freqs, freqs)``).
+    RoPE variants (vanilla / linear / dynamic NTK) mirror llama.py:716-741.
+    """
+    d = cfg.head_dim
+    base = cfg.rope_theta
+    pos = position_ids.astype(jnp.float32)
+
+    if cfg.rope_scaling is not None:
+        stype, factor = cfg.rope_scaling
+        if stype == "linear":
+            pos = pos / factor
+        elif stype == "dynamic":
+            # Dynamic NTK: grow the base when the current max position
+            # exceeds the trained context window.
+            seq_len = jnp.max(position_ids).astype(jnp.float32) + 1.0
+            mpe = float(cfg.max_position_embeddings)
+            scaled = factor * seq_len / mpe - (factor - 1.0)
+            new_base = base * jnp.maximum(scaled, 1.0) ** (d / (d - 2))
+            inv_freq = 1.0 / (
+                new_base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+            )
+            ang = pos[..., None] * inv_freq[None, None, :]
+            cos = jnp.cos(ang)
+            sin = jnp.sin(ang)
+            return (
+                jnp.concatenate([cos, cos], axis=-1),
+                jnp.concatenate([sin, sin], axis=-1),
+            )
+        else:
+            raise ValueError(f"unknown rope scaling {stype}")
+
+    inv_freq = 1.0 / (base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = pos[..., None] * inv_freq[None, None, :]
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    return jnp.concatenate([cos, cos], axis=-1), jnp.concatenate([sin, sin], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [b, h, t, d] (BHSD); cos/sin: [b, t, d]. HF rotate_half convention."""
+    d = x.shape[-1]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    xf = x.astype(jnp.float32)
+    rotf = rot.astype(jnp.float32)
+    out = xf * cos[:, None, :, :] + rotf * sin[:, None, :, :]
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+class ForwardSpec(NamedTuple):
+    """Static specialization of a forward call — the TPU analogue of the
+    reference's CaptureData key set (llama.py:769-810)."""
+
+    mode: str  # "shared_prefill" | "unique_prefill" | "decode"
+    num_used_levels: int
+    level_filled: Tuple[int, ...]  # static filled length per active level
+    unique_history: bool  # attend over previously-written unique cache?
+    unique_filled: int  # static upper bound of written unique positions
+    disable_hydragen: bool
+    disable_attention: bool
+    impl: Optional[str] = None
+
+
+def model_forward(
+    params,
+    cfg: ModelConfig,
+    cache,
+    input_ids: jax.Array,
+    position_ids: jax.Array,
+    unique_position_ids: jax.Array,
+    spec: ForwardSpec,
+    history_lens: jax.Array | None = None,
+):
+    """Run the decoder stack in one of the three cache modes.
+
+    Args:
+        cache: ``KVCache`` (read-only here; new KVs are returned).
+        input_ids: ``[b, t]``.
+        position_ids: ``[b, t]`` global positions (RoPE).
+        unique_position_ids: ``[b, t]`` positions within the unique cache
+            (= global minus shared length; equal to global when hydragen is
+            disabled). Used only for causal bookkeeping here; the engine uses
+            it again for the post-scan scatter.
+        spec: static specialization.
+        history_lens: ``[b]`` number of valid previously-written unique-cache
+            positions per row (required when ``spec.unique_history``).
+
+    Returns:
+        (hidden ``[b, t, H]``, new_k ``[L, b, hkv, t, hd]``, new_v likewise).
+    """
+    impl = _pick_impl(spec.impl)
+    b, t = input_ids.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    h = params["embed_tokens"][input_ids].astype(cfg.jax_dtype)
+    cos, sin = rope_cos_sin(cfg, position_ids)
+    cos = cos.astype(jnp.float32)
+    sin = sin.astype(jnp.float32)
+
+    active_levels = cache.shared[: spec.num_used_levels]
+    # Static slice of each level to its filled length (the reference's
+    # sliced_sequence_length fast path, llama.py:377-400, minus varlen).
+    level_ks = [lv.k[:, :, :, :fl] for lv, fl in zip(active_levels, spec.level_filled)]
+    level_vs = [lv.v[:, :, :, :fl] for lv, fl in zip(active_levels, spec.level_filled)]
+    level_lens = [lv.seq_lens for lv in active_levels]
+
+    uk = cache.unique_k[:, :b, :, : spec.unique_filled] if spec.unique_history else None
+    uv = cache.unique_v[:, :b, :, : spec.unique_filled] if spec.unique_history else None
+
+    lp = params["layers"]
+    has_bias = "bq" in lp
+
+    def layer(h, xs):
+        (wq, wk, wv, wo, gate, up, down, in_n, post_n, biases, lvl_kv, ukv) = xs
+        resid = h
+        x = rms_norm(h, in_n, cfg.rms_norm_eps)
+
+        q = jnp.einsum("bth,hd->btd", x, wq)
+        k = jnp.einsum("bth,hd->btd", x, wk)
+        v = jnp.einsum("bth,hd->btd", x, wv)
+        if has_bias:
+            bq, bk, bv, bo = biases
+            q, k, v = q + bq, k + bk, v + bv
+        # BHSD layout for attention + caches.
+        q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if spec.disable_attention:
+            attn = q
+        else:
+            outs, lses = [], []
+            if not spec.disable_hydragen:
+                for (lk, lv_), lens in zip(lvl_kv, level_lens):
+                    sb = lk.shape[0]
+                    bq_ = fold_queries_for_shared(q, sb)
+                    o, l = _attention(
+                        bq_, lk, lv_, causal=False, kv_seq_lens=lens, impl=impl
+                    )
+                    outs.append(unfold_shared_out(o, b, t))
+                    lses.append(unfold_shared_lse(l, b, t))
+            if ukv is not None:
+                o, l = _attention(
+                    q, ukv[0], ukv[1], causal=False, kv_seq_lens=history_lens,
+                    impl=impl,
+                )
+                outs.append(o)
+                lses.append(l)
+            # Causal self-attention over the current input's KV.
+            o, l = _attention(q, k, v, causal=True, kv_seq_lens=None, impl=impl)
+            outs.append(o)
+            lses.append(l)
+            attn = combine_lse(outs, lses)
+
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
+        attn = jnp.einsum("btd,dh->bth", attn, wo)
+        if has_bias:
+            attn = attn + biases[3]
+        h = resid + attn
+
+        resid = h
+        x = rms_norm(h, post_n, cfg.rms_norm_eps)
+        g = jnp.einsum("bth,hi->bti", x, gate)
+        u = jnp.einsum("bth,hi->bti", x, up)
+        m = jnp.einsum("bti,ih->bth", jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, down)
+        h = resid + m
+
+        return h, (k, v)
+
+    biases = (
+        (lp["bq"], lp["bk"], lp["bv"], lp["bo"])
+        if has_bias
+        else (jnp.zeros((cfg.num_hidden_layers, 0)),) * 4
+    )
+    xs = (
+        lp["wq"], lp["wk"], lp["wv"], lp["wo"],
+        lp["gate"], lp["up"], lp["down"],
+        lp["input_norm"], lp["post_attn_norm"],
+        biases,
+        tuple(zip(level_ks, level_vs)),
+        (uk, uv) if uk is not None else None,
+    )
+
+    h, (new_k, new_v) = jax.lax.scan(layer, h, xs)
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    return h, new_k, new_v
+
+
+def logits_from_hidden(
+    params, cfg: ModelConfig, hidden: jax.Array, seq_lens: jax.Array | None = None,
+    full_logits: bool = False,
+):
+    """LM head; last-token-only unless full_logits (llama.py:976-996)."""
+    if full_logits:
+        to_head = hidden
+    elif seq_lens is not None:
+        idx = (seq_lens - 1).astype(jnp.int32)
+        to_head = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)
+    else:
+        to_head = hidden[:, -1:]
+    logits = jnp.einsum("bth,hv->btv", to_head, params["lm_head"])
+    return logits.astype(jnp.float32)

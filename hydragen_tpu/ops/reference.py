@@ -1,0 +1,127 @@
+"""Pure-JAX (XLA) attention with log-sum-exp output.
+
+This is the numerical oracle for the Pallas kernels and also the fallback
+compute path on non-TPU backends. It plays the role the external flash-attn
+package plays in the reference (``/root/reference/hydragen/flash.py:163-350``):
+a batched attention that returns ``(out, lse)`` so partial attentions over
+different KV sources can be exactly merged with ``combine_lse``.
+
+Layout conventions:
+- The **internal canonical layout is BHSD**: ``q [b, hq, m, d]``,
+  ``k/v [b, hkv, s, d]``, ``out [b, hq, m, d]``, ``lse [b, hq, m]`` (fp32).
+  On TPU, HBM tiling packs the last two dims into (sublane, lane) tiles, so
+  keeping ``(seq, head_dim)`` innermost avoids padding tiny GQA/MQA head
+  counts up to 8 sublanes (an up-to-8x KV-cache HBM waste in a
+  ``[..., s, hkv, hd]`` layout). It also makes GQA query-head folding into
+  the matmul M dimension a pure reshape.
+- The **public API mirrors the reference's BSHD** (``[batch, len, heads,
+  dim]``) via thin transpose wrappers.
+
+Unlike flash-attn there is no packed varlen layout: ragged batches are always
+expressed as right-padded arrays plus ``kv_seq_lens`` masks, which maps
+directly onto TPU static shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Large negative instead of -inf so exp(mask - mask) never yields NaN.
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+@partial(jax.jit, static_argnames=("causal", "scale"))
+def attention_bhsd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_seq_lens: jax.Array | None = None,
+    scale: float | None = None,
+):
+    """Canonical-layout attention returning ``(out, lse)``.
+
+    Args:
+        q: ``[b, hq, m, d]`` queries.
+        k: ``[b, hkv, s, d]`` keys (GQA: ``hq % hkv == 0``; query head ``h``
+            reads kv head ``h // (hq//hkv)``).
+        v: ``[b, hkv, s, d]`` values.
+        causal: query at position ``i`` attends kv positions
+            ``j <= i + (s - m)`` (diagonal aligned to the end).
+        kv_seq_lens: optional ``[b]`` int; kv positions ``>= len`` masked.
+        scale: softmax scale, default ``1/sqrt(d)``.
+
+    Returns:
+        out ``[b, hq, m, d]`` (q.dtype), lse ``[b, hq, m]`` (float32) =
+        natural-log sum of ``exp(scale * q.k)`` over unmasked positions
+        (``-inf`` for fully-masked rows).
+    """
+    b, hq, m, d = q.shape
+    _, hkv, s, _ = k.shape
+    assert hq % hkv == 0, f"GQA requires hq % hkv == 0, got {hq} {hkv}"
+    group = hq // hkv
+
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    qg = qf.reshape(b, hkv, group, m, d)
+    scores = jnp.einsum("bkgmd,bksd->bkgms", qg, kf)  # [b, hkv, grp, m, s]
+
+    mask = jnp.ones((b, 1, 1, m, s), dtype=bool)
+    if causal:
+        qpos = jnp.arange(m)[:, None] + (s - m)
+        kpos = jnp.arange(s)[None, :]
+        mask = mask & (kpos <= qpos)[None, None, None]
+    if kv_seq_lens is not None:
+        kpos = jnp.arange(s)
+        mask = mask & (kpos[None, :] < kv_seq_lens[:, None])[:, None, None, None]
+
+    scores = jnp.where(mask, scores, MASK_VALUE)
+
+    mx = jnp.max(scores, axis=-1, keepdims=True)
+    m_safe = jnp.maximum(mx, -1e30)
+    p = jnp.exp(scores - m_safe)
+    p = jnp.where(mask, p, 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+
+    o = jnp.einsum("bkgms,bksd->bkgmd", p / l_safe, vf)
+    out = o.reshape(b, hq, m, d).astype(q.dtype)
+
+    lse = m_safe[..., 0] + jnp.log(l_safe[..., 0])  # [b, hkv, grp, m]
+    lse = jnp.where(l[..., 0] == 0.0, -jnp.inf, lse).reshape(b, hq, m)
+
+    return out, lse
+
+
+def attention_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_seq_lens: jax.Array | None = None,
+    scale: float | None = None,
+):
+    """Public BSHD wrapper: q ``[b, m, hq, d]``, k/v ``[b, s, hkv, d]``.
+
+    Returns out ``[b, m, hq, d]``, lse ``[b, m, hq]``.
+    """
+    out, lse = attention_bhsd(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=causal,
+        kv_seq_lens=kv_seq_lens,
+        scale=scale,
+    )
+    return out.transpose(0, 2, 1, 3), lse.transpose(0, 2, 1)
