@@ -1,0 +1,483 @@
+"""Pallas TPU flash-attention kernel returning ``(out, lse)``.
+
+One kernel replaces all three of the reference's attention kernels
+(/root/reference/hydragen/flash.py:163-350):
+
+- ``flash_attention`` (C1, non-causal batched)  -> ``causal=False``
+- ``flash_attention`` (causal prefill)          -> ``causal=True``
+- ``flash_attention_seqlen`` (C3, the Triton split-K decode kernel over the
+  mutable unique cache)                          -> ``kv_seq_lens=[b]``
+
+plus the varlen path (C2): ragged shared levels are right-padded and masked
+by ``kv_seq_lens`` instead of flash-attn's packed ``cu_seqlens`` layout.
+
+TPU-native design notes:
+
+- **GQA head folding**: queries ``[b, hq, m, d]`` are reshaped (pure reshape,
+  thanks to the BHSD layout) to ``[b, hkv, g*m, d]`` so the matmul M-dim is
+  ``g*m`` — the analogue of flash.py:176-178's folding of extra q-heads into
+  the query-length dim, required to feed the 128x128 MXU at ``m == 1``.
+- **Online softmax** with fp32 running max / sum / accumulator in VMEM
+  scratch; the output is divided by ``l`` once at the end.
+- **Block skipping**: ``kv_seq_lens`` rides scalar prefetch; the K/V
+  BlockSpec index maps clamp the kv-block index to the last in-bounds block,
+  so fully-masked blocks issue *no new DMA* (Pallas skips re-fetch when the
+  mapped block is unchanged) and ``@pl.when`` skips their compute. This is
+  the TPU equivalent of split-K's early exit and is what makes padded shared
+  levels cheap. The causal path clamps by the q-block diagonal the same way
+  (the tile-skip of flash attention).
+- The split-K *reduction* of the reference (flash.py:76-160) is unnecessary:
+  its LSE-merge math is exactly ``combine_lse``, which is where cross-source
+  merging already happens.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    lens_ref,  # scalar prefetch: [b] int32 kv lengths
+    q_ref,     # [1, block_m, dp]
+    k_ref,     # [1, block_k, dp]
+    v_ref,     # [1, block_k, dp]
+    o_ref,     # [1, block_m, dp]
+    lse_ref,   # [1, block_m, LANES] (lane-broadcast; caller slices [..., 0])
+    m_scr,     # VMEM [block_m, LANES] f32
+    l_scr,     # VMEM [block_m, LANES] f32
+    acc_scr,   # VMEM [block_m, dp] f32
+    *,
+    hkv: int,
+    q_len: int,
+    block_m: int,
+    block_k: int,
+    num_kv_blocks: int,
+    causal: bool,
+    scale: float,
+):
+    ki = pl.program_id(2)
+    mi = pl.program_id(1)
+    b_idx = pl.program_id(0) // hkv
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    limit = lens_ref[b_idx]
+    block_start = ki * block_k
+
+    # Compute-skip for fully out-of-bounds blocks (paired with the index-map
+    # clamp that avoids their DMA).
+    run = block_start < limit
+    if causal:
+        # Folded q row r corresponds to q position r % q_len (GQA fold is
+        # head-major, position-minor). Highest q position in this q block:
+        lo = mi * block_m
+        hi = lo + block_m - 1
+        max_qpos = jnp.where(lo // q_len == hi // q_len, hi % q_len, q_len - 1)
+        run = jnp.logical_and(run, block_start <= max_qpos)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_m, block_k]
+        s = s * scale  # fp32 scaling (matches the oracle's numerics)
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_k), 1)
+        kpos = block_start + cols
+        mask = kpos < limit
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_k), 0)
+            qpos = (mi * block_m + rows) % q_len
+            mask = jnp.logical_and(mask, kpos <= qpos)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, 0:1]
+        l_prev = l_scr[:, 0:1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        v = v_ref[0]
+        # Zero out-of-bounds V rows: the final block may read past the array
+        # (Pallas pads such reads with unspecified values; NaN in interpret
+        # mode) and 0 * NaN would poison the matmul.
+        vrows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(block_start + vrows < limit, v, jnp.zeros((), v.dtype))
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _emit():
+        l = l_scr[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        m = m_scr[:, 0:1]
+        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
+
+
+def _decode_kernel(
+    lens_ref,  # scalar prefetch: [b] int32 kv lengths
+    q_ref,     # [R, Mp, dp]
+    k_ref,     # [R, block_k, dp]
+    v_ref,     # [R, block_k, dp]
+    o_ref,     # [R, Mp, dp]
+    lse_ref,   # [R, Mp, LANES]
+    m_scr,     # VMEM [R*Mp, LANES] f32
+    l_scr,     # VMEM [R*Mp, LANES] f32
+    acc_scr,   # VMEM [R*Mp, dp] f32
+    *,
+    hkv: int,
+    rows: int,      # R: batch-rows per grid cell
+    mp: int,        # padded M per row
+    block_k: int,
+    num_kv_blocks: int,
+    scale: float,
+):
+    """Row-batched decode attention (non-causal, length-masked).
+
+    Processes R batch rows per grid cell. Each row attends only its own KV,
+    but both matmuls are issued as single large block-diagonal-masked matmuls
+    ([R*Mp, d] @ [d, R*block_k]): the R x redundant FLOPs are free because
+    decode attention is HBM-bandwidth-bound, while the large DMA blocks and
+    R x fewer grid cells keep the memory pipeline busy. This replaces the
+    reference's Triton split-K decode kernel (flash.py:37-281) — the TPU
+    bottleneck is DMA efficiency, not SM occupancy, so batching rows beats
+    splitting K.
+    """
+    ki = pl.program_id(1)
+    bi = pl.program_id(0)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # Per-cell upper bound over its rows' lengths.
+    limit = jnp.int32(0)
+    for r in range(rows):
+        limit = jnp.maximum(limit, lens_ref[(bi * rows + r) // hkv])
+    block_start = ki * block_k
+
+    @pl.when(block_start < limit)
+    def _compute():
+        q = q_ref[...].reshape(rows * mp, q_ref.shape[-1])
+        k = k_ref[...].reshape(rows * block_k, k_ref.shape[-1])
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [R*Mp, R*block_k]
+        s = s * scale
+
+        mrows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        ri = mrows // mp
+        rj = cols // block_k
+        kpos = block_start + (cols % block_k)
+        # Block-diagonal (own-row) + per-row length mask.
+        lens_by_r = [lens_ref[(bi * rows + r) // hkv] for r in range(rows)]
+        own_len = jnp.full_like(ri, lens_by_r[0])
+        for r in range(1, rows):
+            own_len = jnp.where(ri == r, lens_by_r[r], own_len)
+        mask = jnp.logical_and(ri == rj, kpos < own_len)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, 0:1]
+        l_prev = l_scr[:, 0:1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        v = v_ref[...].reshape(rows * block_k, v_ref.shape[-1])
+        vrows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        vri = vrows // block_k
+        vlen = jnp.full_like(vri, lens_by_r[0])
+        for r in range(1, rows):
+            vlen = jnp.where(vri == r, lens_by_r[r], vlen)
+        v = jnp.where(block_start + (vrows % block_k) < vlen, v, jnp.zeros((), v.dtype))
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _emit():
+        l = l_scr[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[...] = (acc_scr[...] / l_safe).astype(o_ref.dtype).reshape(o_ref.shape)
+        m = m_scr[:, 0:1]
+        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
+        lse_ref[...] = jnp.broadcast_to(lse, (rows * mp, LANES)).astype(
+            jnp.float32
+        ).reshape(lse_ref.shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_m", "block_k", "interpret"),
+)
+def flash_attention_bhsd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_seq_lens: jax.Array | None = None,
+    scale: float | None = None,
+    block_m: int | None = None,
+    block_k: int | None = None,
+    interpret: bool | None = None,
+):
+    """Flash attention in the canonical BHSD layout.
+
+    Args / returns match ``ops.reference.attention_bhsd`` exactly (it is the
+    oracle): q ``[b, hq, m, d]``, k/v ``[b, hkv, s, d]``; returns
+    (out ``[b, hq, m, d]``, lse ``[b, hq, m]`` fp32).
+    """
+    b, hq, m, d = q.shape
+    _, hkv, s, _ = k.shape
+    assert hq % hkv == 0
+    group = hq // hkv
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # GQA fold (pure reshape in BHSD).
+    M = group * m
+    qf = q.reshape(b, hkv, M, d)
+
+    # Pad head_dim to the 128-lane tile and M to a sublane-friendly block.
+    dp = max(_round_up(d, LANES), LANES)
+    if block_m is None:
+        block_m = min(512, max(16, _round_up(M, 16)))
+    Mp = _round_up(M, block_m)
+    if block_k is None:
+        block_k = min(512, max(LANES, _round_up(min(s, 512), LANES)))
+    num_kv_blocks = -(-s // block_k)
+
+    qp = jnp.pad(qf, ((0, 0), (0, 0), (0, Mp - M), (0, dp - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+
+    qp = qp.reshape(b * hkv, Mp, dp)
+    kp = kp.reshape(b * hkv, s, dp)
+    vp = vp.reshape(b * hkv, s, dp)
+
+    if kv_seq_lens is None:
+        lens = jnp.full((b,), s, dtype=jnp.int32)
+    else:
+        lens = jnp.minimum(kv_seq_lens.astype(jnp.int32), s)
+
+    # Decode shapes (tiny M, per-row KV) use the row-batched kernel: the
+    # per-(row, head) grid of the generic kernel starves the DMA pipeline.
+    if not causal and M <= 32 and s >= LANES:
+        B = b * hkv
+        R = next((r for r in (16, 8, 4, 2, 1) if B % r == 0), 1)
+        if R > 1:
+            mp_dec = _round_up(M, 8)
+            bk_dec = block_k if block_k is not None else min(
+                512, max(LANES, _round_up(min(s, 512), LANES))
+            )
+            return _flash_decode_call(
+                qf, k, v, lens, hkv=hkv, group=group, m=m, mp=mp_dec,
+                rows=R, block_k=bk_dec, dp=dp, d=d, scale=scale,
+                interpret=interpret,
+            )
+
+    # NB: in BlockSpec index maps, scalar-prefetch refs come AFTER the grid
+    # indices (in kernel bodies they come first).
+    def q_index(bh, mi, ki, lens_ref):
+        return (bh, mi, 0)
+
+    def kv_index(bh, mi, ki, lens_ref):
+        # Clamp to the last in-bounds block: out-of-bounds grid steps re-map
+        # to an already-fetched block => no DMA, and compute is skipped.
+        limit = lens_ref[bh // hkv]
+        last = jnp.maximum((limit + block_k - 1) // block_k - 1, 0)
+        if causal:
+            lo = mi * block_m
+            hi = lo + block_m - 1
+            max_qpos = jnp.where(lo // m == hi // m, hi % m, m - 1)
+            last = jnp.minimum(last, max_qpos // block_k)
+        return (bh, jnp.minimum(ki, last), 0)
+
+    def out_index(bh, mi, ki, lens_ref):
+        return (bh, mi, 0)
+
+    def lse_index(bh, mi, ki, lens_ref):
+        return (bh, mi, 0)
+
+    grid = (b * hkv, Mp // block_m, num_kv_blocks)
+
+    kernel = functools.partial(
+        _kernel,
+        hkv=hkv,
+        q_len=m,
+        block_m=block_m,
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+        causal=causal,
+        scale=scale,
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_m, dp), q_index),
+                pl.BlockSpec((1, block_k, dp), kv_index),
+                pl.BlockSpec((1, block_k, dp), kv_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_m, dp), out_index),
+                # lse is lane-broadcast to satisfy Mosaic's (8, 128) trailing
+                # block-dim rule (same trick as jax's flash kernel residuals).
+                pl.BlockSpec((1, block_m, LANES), lse_index),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_m, LANES), jnp.float32),
+                pltpu.VMEM((block_m, LANES), jnp.float32),
+                pltpu.VMEM((block_m, dp), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * hkv, Mp, dp), q.dtype),
+            jax.ShapeDtypeStruct((b * hkv, Mp, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, qp, kp, vp)
+
+    out = out[:, :M, :d].reshape(b, hkv, group, m, d).reshape(b, hq, m, d)
+    lse = lse[:, :M, 0].reshape(b, hkv, group, m).reshape(b, hq, m)
+    return out.astype(q.dtype), lse
+
+
+def _flash_decode_call(
+    qf, k, v, lens, *, hkv, group, m, mp, rows, block_k, dp, d, scale, interpret
+):
+    """Launch the row-batched decode kernel. qf: [b, hkv, M, d] folded q."""
+    b = qf.shape[0]
+    M = qf.shape[2]
+    s = k.shape[2]
+    B = b * hkv
+    num_kv_blocks = -(-s // block_k)
+
+    qp = jnp.pad(qf, ((0, 0), (0, 0), (0, mp - M), (0, dp - d))).reshape(B, mp, dp)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(B, s, dp)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(B, s, dp)
+
+    def q_index(bi, ki, lens_ref):
+        return (bi, 0, 0)
+
+    def kv_index(bi, ki, lens_ref):
+        limit = lens_ref[(bi * rows) // hkv]
+        for r in range(1, rows):
+            limit = jnp.maximum(limit, lens_ref[(bi * rows + r) // hkv])
+        last = jnp.maximum((limit + block_k - 1) // block_k - 1, 0)
+        return (bi, jnp.minimum(ki, last), 0)
+
+    kernel = functools.partial(
+        _decode_kernel,
+        hkv=hkv,
+        rows=rows,
+        mp=mp,
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+        scale=scale,
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // rows, num_kv_blocks),
+            in_specs=[
+                pl.BlockSpec((rows, mp, dp), q_index),
+                pl.BlockSpec((rows, block_k, dp), kv_index),
+                pl.BlockSpec((rows, block_k, dp), kv_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((rows, mp, dp), q_index),
+                pl.BlockSpec((rows, mp, LANES), q_index),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rows * mp, LANES), jnp.float32),
+                pltpu.VMEM((rows * mp, LANES), jnp.float32),
+                pltpu.VMEM((rows * mp, dp), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, mp, dp), qf.dtype),
+            jax.ShapeDtypeStruct((B, mp, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, qp, kp, vp)
+
+    hq = hkv * group
+    out = out[:, :M, :d].reshape(b, hkv, group, m, d).reshape(b, hq, m, d)
+    lse = lse[:, :M, 0].reshape(b, hkv, group, m).reshape(b, hq, m)
+    return out.astype(qf.dtype), lse
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_seq_lens: jax.Array | None = None,
+    scale: float | None = None,
+):
+    """Public BSHD wrapper (reference-parity layout, flash.py:284-306)."""
+    out, lse = flash_attention_bhsd(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=causal,
+        kv_seq_lens=kv_seq_lens,
+        scale=scale,
+    )
+    return out.transpose(0, 2, 1, 3), lse.transpose(0, 2, 1)
