@@ -213,15 +213,34 @@ _repeat_unique = jax.jit(
 class HydragenLlama:
     """Stateful wrapper: params + cache + host-side level stack discipline."""
 
-    def __init__(self, config: ModelConfig, params, impl: Optional[str] = None):
+    def __init__(
+        self, config: ModelConfig, params, impl: Optional[str] = None, mesh=None
+    ):
         self.config = config
         self.params = params
         self.impl = impl
+        self.mesh = None
         self.cache: Optional[KVCache] = None
         self.num_used_levels = 0
         self.level_filled: List[int] = []
         self._disable_hydragen = False
         self._disable_attention = False
+        if mesh is not None:
+            self.shard(mesh)
+
+    def shard(self, mesh):
+        """Place params (and the cache, if allocated) on a device mesh.
+
+        The TPU-native ``apply_tp`` (/root/reference/hydragen/tp.py:127-132):
+        once inputs carry ``NamedSharding``s, every jitted step runs SPMD and
+        GSPMD inserts the reference's per-layer all-reduces over ICI.
+        """
+        from hydragen_tpu.parallel import shard_cache, shard_params
+
+        self.mesh = mesh
+        self.params = shard_params(self.params, self.config, mesh)
+        if self.cache is not None:
+            self.cache = shard_cache(self.cache, self.config, mesh)
 
     # -- constructors ------------------------------------------------------
 
@@ -264,6 +283,10 @@ class HydragenLlama:
         )
         self.num_used_levels = 0
         self.level_filled = []
+        if self.mesh is not None:
+            from hydragen_tpu.parallel import shard_cache
+
+            self.cache = shard_cache(self.cache, cfg, self.mesh)
 
     def empty_shared_cache(self):
         self.truncate_shared_caches(0)

@@ -251,7 +251,22 @@ def model_forward(
                 outs.append(o)
                 lses.append(l)
             # Causal self-attention over the current input's KV.
-            o, l = _attention(q, k, v, causal=True, kv_seq_lens=None, impl=impl)
+            if t == 1:
+                # Decode: softmax over a single own-token KV is the identity —
+                # out = v, lse = q·k·scale. Computing this analytically avoids
+                # a per-layer kernel launch in the hot loop.
+                scale = 1.0 / math.sqrt(hd)
+                group = nh // nkv
+                qg = q.astype(jnp.float32).reshape(b, nkv, group, 1, hd)
+                kf = k.astype(jnp.float32)
+                l = (
+                    jnp.einsum("bkgmd,bkmd->bkgm", qg, kf) * scale
+                ).reshape(b, nh, 1)
+                o = jnp.broadcast_to(
+                    v[:, :, None], (b, nkv, group, 1, hd)
+                ).reshape(b, nh, 1, hd).astype(q.dtype)
+            else:
+                o, l = _attention(q, k, v, causal=True, kv_seq_lens=None, impl=impl)
             outs.append(o)
             lses.append(l)
             attn = combine_lse(outs, lses)

@@ -305,7 +305,7 @@ def flash_attention_bhsd(
 
     # Decode shapes (tiny M, per-row KV) use the row-batched kernel: the
     # per-(row, head) grid of the generic kernel starves the DMA pipeline.
-    if not causal and M <= 32 and s >= LANES:
+    if not causal and M <= 32:
         B = b * hkv
         R = next((r for r in (16, 8, 4, 2, 1) if B % r == 0), 1)
         if R > 1:

@@ -1,0 +1,116 @@
+"""Parameter / KV-cache shardings (gpt-fast-style TP, the GSPMD way).
+
+Counterpart of the reference's ``apply_tp`` (/root/reference/hydragen/tp.py:30-132):
+
+- column-shard q/k/v/gate/up  ->  PartitionSpec on the *output-feature* dim
+- row-shard o/down            ->  PartitionSpec on the *input-feature* dim
+- embeddings / lm_head replicated-or-vocab-sharded (the reference replicates,
+  tp.py:127-132; we shard lm_head over vocab — the logits all-gather is tiny
+  next to the matmul savings)
+- KV caches sharded over kv-heads (the reference gets this implicitly by
+  shrinking ``num_kv_heads`` before cache allocation, tp.py:101-106)
+
+Instead of mutating modules per rank, we hand XLA ``NamedSharding``s; GSPMD
+derives the reference's two per-layer all-reduces (tp.py:84-112) from the
+row-sharded projections and overlaps them via the latency-hiding scheduler.
+
+GQA edge: when ``num_kv_heads % tp != 0`` the kv projections and caches are
+replicated while q stays sharded — same semantics the reference can't express
+(it requires divisibility, tp.py:43-46).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hydragen_tpu.core.cache import KVCache, SharedLevel
+from hydragen_tpu.models.config import ModelConfig
+
+
+def _axis(mesh: Mesh, name: str) -> str | None:
+    return name if name in mesh.axis_names and mesh.shape[name] > 1 else None
+
+
+def param_pspecs(cfg: ModelConfig, mesh: Mesh):
+    """PartitionSpec pytree matching the param pytree of models/llama.py."""
+    tp = _axis(mesh, "tp")
+    tp_size = mesh.shape["tp"] if tp else 1
+
+    def div(n: int) -> str | None:
+        return tp if tp and n % tp_size == 0 else None
+
+    q_shard = div(cfg.num_attention_heads * cfg.head_dim)
+    kv_shard = div(cfg.num_key_value_heads * cfg.head_dim)
+    # kv head sharding must also divide the *head count* (caches shard heads).
+    if kv_shard and cfg.num_key_value_heads % tp_size != 0:
+        kv_shard = None
+    mlp_shard = div(cfg.intermediate_size)
+    vocab_shard = div(cfg.vocab_size)
+
+    specs = {
+        "embed_tokens": P(None, None),
+        "final_norm": P(None),
+        "lm_head": P(None, vocab_shard),
+        "layers": {
+            "input_norm": P(None, None),
+            "post_attn_norm": P(None, None),
+            "wq": P(None, None, q_shard),
+            "wk": P(None, None, kv_shard),
+            "wv": P(None, None, kv_shard),
+            "wo": P(None, q_shard, None),
+            "gate": P(None, None, mlp_shard),
+            "up": P(None, None, mlp_shard),
+            "down": P(None, mlp_shard, None),
+        },
+    }
+    if cfg.attention_bias:
+        specs["layers"]["bq"] = P(None, q_shard)
+        specs["layers"]["bk"] = P(None, kv_shard)
+        specs["layers"]["bv"] = P(None, kv_shard)
+        specs["layers"]["bo"] = P(None, None)
+    return specs
+
+
+def cache_pspecs(cfg: ModelConfig, mesh: Mesh, cache: KVCache):
+    """PartitionSpec pytree matching a ``KVCache``.
+
+    Unique cache: batch over ``dp``, kv-heads over ``tp``.
+    Shared levels: kv-heads over ``tp`` only (a level's prefixes are shared
+    by rows on every dp shard, so its KV is replicated across ``dp`` — the
+    whole point of Hydragen is that this buffer is small).
+    """
+    tp = _axis(mesh, "tp")
+    dp = _axis(mesh, "dp")
+    tp_size = mesh.shape["tp"] if tp else 1
+    head_shard = tp if tp and cfg.num_key_value_heads % tp_size == 0 else None
+
+    dp_size = mesh.shape["dp"] if dp else 1
+    batch_shard = dp if dp and cache.max_unique_batch_size % dp_size == 0 else None
+
+    ukv = P(None, batch_shard, head_shard, None, None)
+    shared = tuple(
+        SharedLevel(
+            k=P(None, None, head_shard, None, None),
+            v=P(None, None, head_shard, None, None),
+            seq_lens=P(None),
+        )
+        for _ in cache.shared
+    )
+    return KVCache(unique_k=ukv, unique_v=ukv, shared=shared)
+
+
+def shard_params(params, cfg: ModelConfig, mesh: Mesh):
+    """Place the param pytree on the mesh with TP shardings."""
+    specs = param_pspecs(cfg, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_cache(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
+    """Place a (freshly allocated) KVCache on the mesh."""
+    specs = cache_pspecs(cfg, mesh, cache)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )

@@ -1,0 +1,60 @@
+"""Benchmark timing for TPU.
+
+Counterpart of the reference's CUDA-event timing
+(/root/reference/hydragen/benchmark_utils.py:82-170). On TPU there are no
+CUDA events or graphs: dispatch is async, so each measured call is fenced by
+materializing its result on the host (``jax.block_until_ready`` alone is not
+sufficient over remote-device transports, where readiness can be reported
+before execution completes — a host readback is the only reliable fence).
+``timed_with_graphs`` has no analogue: jit already gives replay semantics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _fence(out) -> None:
+    """Force real completion: block, then read one element back to the host.
+
+    TPU programs execute in order per device, so a host readback of (part of)
+    the last result fences everything enqueued before it.
+    """
+    out = jax.block_until_ready(out)
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype"):
+            np.asarray(jax.numpy.ravel(leaf)[:1])
+            break
+
+
+def timed(
+    fn: Callable,
+    num_iters: int = 10,
+    num_warmup: int = 3,
+    between_fn: Optional[Callable] = None,
+) -> Tuple[List[float], List[float]]:
+    """Time ``fn`` -> (times, warmup_times), seconds per call.
+
+    Mirrors the reference's ``timed`` signature (benchmark_utils.py:82-137):
+    warmup calls are timed separately; ``between_fn`` runs between iterations
+    (untimed) — the reference uses it to flush the L2 cache, here it can
+    reset caches or devices.
+    """
+    warmup_times = []
+    for _ in range(num_warmup):
+        t0 = time.perf_counter()
+        _fence(fn())
+        warmup_times.append(time.perf_counter() - t0)
+
+    times = []
+    for _ in range(num_iters):
+        if between_fn is not None:
+            _fence(between_fn())
+        t0 = time.perf_counter()
+        _fence(fn())
+        times.append(time.perf_counter() - t0)
+    return times, warmup_times

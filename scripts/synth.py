@@ -1,0 +1,134 @@
+"""Synthetic end-to-end benchmark sweep.
+
+Counterpart of /root/reference/scripts/synth.py:36-255: sweep
+batch-size × shared-prefix-length × new-tokens over modes
+{hydragen, hydragen_noshared, noattention}, one YAML per config
+(crash-resumable: existing files are skipped). "hydragen_noshared" is the
+plain-flash-attention baseline (disable_hydragen), "noattention" the
+attention-free throughput upper bound (disable_attention).
+
+Runs with random weights by default (timing does not depend on weight
+values); pass --pretrained for a real checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+from pathlib import Path
+
+import numpy as np
+
+from hydragen_tpu.utils import (
+    SynthBenchmarkResult,
+    save_yaml_dataclass,
+    split_range,
+    timed,
+)
+
+MODES = ("hydragen", "hydragen_noshared", "noattention")
+
+
+def result_path(outdir: Path, mode: str, bs: int, ns: int, nu: int) -> Path:
+    return outdir / f"{mode}_bs{bs}_ns{ns}_nu{nu}.yaml"
+
+
+def bench_point(engine, mode: str, bs: int, ns: int, nu: int, iters: int,
+                vocab: int, measure_prefill: bool):
+    from hydragen_tpu.core.engine import SharedCacheOp
+
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, vocab, size=(1, ns)).astype(np.int32)
+    unique_len = nu + 8 + (ns if mode == "hydragen_noshared" else 0)
+    engine.setup_caches(
+        max_unique_batch_size=bs,
+        max_unique_seq_length=unique_len,
+        max_shared_batch_sizes=[1],
+        max_shared_seq_lengths=[ns],
+    )
+
+    def gen(max_new=nu):
+        return engine.generate(
+            input_ids=[prompt],
+            num_return_sequences=bs,
+            max_new_tokens=max_new,
+            temperature=0.0,
+            shared_cache_op=SharedCacheOp.WIPE,
+            disable_hydragen=(mode == "hydragen_noshared"),
+            disable_attention=(mode == "noattention"),
+        )
+
+    times, warmup = timed(gen, num_iters=iters, num_warmup=2)
+    prefill_times = []
+    if measure_prefill:  # separate prefill series via a 1-token run (synth.py:217-226)
+        prefill_times, _ = timed(lambda: gen(1), num_iters=iters, num_warmup=1)
+    return times, warmup, prefill_times
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("outdir", type=Path)
+    p.add_argument("--bs", default="32", help="sweep range, e.g. 32:1024:x2")
+    p.add_argument("--num-shared", default="1024", help="shared prefix length range")
+    p.add_argument("--num-unique", default="64", help="new tokens per sequence range")
+    p.add_argument("--mode", default="hydragen", choices=MODES + ("all",))
+    p.add_argument("--preset", default="sheared-llama-1.3b")
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--measure-prefill", action="store_true")
+    args = p.parse_args()
+
+    import jax  # noqa: F401  (device init after arg parsing)
+
+    from hydragen_tpu.core.engine import HydragenLlama
+    from hydragen_tpu.models.config import PRESETS
+    from hydragen_tpu.models.llama import init_params
+
+    if args.pretrained:
+        engine = HydragenLlama.from_pretrained(args.pretrained, dtype=args.dtype)
+        model_name = args.pretrained
+    else:
+        cfg = PRESETS[args.preset]
+        if cfg.dtype != args.dtype:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, dtype=args.dtype)
+        engine = HydragenLlama(cfg, init_params(cfg, __import__("jax").random.PRNGKey(0)))
+        model_name = args.preset
+    if args.tp * args.dp > 1:
+        from hydragen_tpu.parallel import make_mesh
+
+        engine.shard(make_mesh(tp=args.tp, dp=args.dp))
+
+    modes = MODES if args.mode == "all" else (args.mode,)
+    args.outdir.mkdir(parents=True, exist_ok=True)
+    grid = list(itertools.product(
+        split_range(args.bs), split_range(args.num_shared), split_range(args.num_unique)
+    ))
+    for bs, ns, nu in grid:
+        for mode in modes:
+            path = result_path(args.outdir, mode, bs, ns, nu)
+            if path.exists():
+                print(f"skip (exists): {path}")
+                continue
+            print(f"run: mode={mode} bs={bs} shared={ns} unique={nu}")
+            times, warmup, prefill = bench_point(
+                engine, mode, bs, ns, nu, args.iters,
+                engine.config.vocab_size, args.measure_prefill,
+            )
+            res = SynthBenchmarkResult(
+                mode=mode, batch_size=bs, num_shared=ns, num_unique=nu,
+                model=model_name, times=times, warmup_times=warmup,
+                prefill_times=prefill,
+            )
+            if res.rstd > 0.1:
+                print(f"WARNING: rstd {res.rstd:.3f} > 0.1 (noisy measurement)")
+            print(f"  mean {res.mean_time*1e3:.2f} ms, {res.throughput:.0f} tok/s")
+            save_yaml_dataclass(res, path)
+
+
+if __name__ == "__main__":
+    main()
