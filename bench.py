@@ -8,7 +8,8 @@ Prints ONE JSON line: value = hydragen decode throughput (tok/s);
 vs_baseline = speedup over the disable_hydragen (plain flash-attention)
 baseline computing the identical function.
 
-Env overrides: HYDRAGEN_BENCH_BS, HYDRAGEN_BENCH_SHARED, HYDRAGEN_BENCH_NEW.
+Env overrides: HYDRAGEN_BENCH_BS, HYDRAGEN_BENCH_SHARED, HYDRAGEN_BENCH_NEW,
+HYDRAGEN_BENCH_QUANT=int8.
 """
 
 from __future__ import annotations
@@ -56,9 +57,11 @@ def main():
     shared_len = int(os.environ.get("HYDRAGEN_BENCH_SHARED", "1024"))
     new_tokens = int(os.environ.get("HYDRAGEN_BENCH_NEW", "64"))
 
+    quant = os.environ.get("HYDRAGEN_BENCH_QUANT") or None
+
     cfg = PRESETS["sheared-llama-1.3b"]
     params = init_params(cfg, jax.random.PRNGKey(0))
-    engine = HydragenLlama(cfg, params)
+    engine = HydragenLlama(cfg, params, quantization=quant)
 
     rng = np.random.RandomState(0)
     prompt = rng.randint(1, cfg.vocab_size, size=(1, shared_len)).astype(np.int32)

@@ -165,13 +165,34 @@ def update_unique_prefill(cache: KVCache, k: jax.Array, v: jax.Array) -> KVCache
 
 
 def update_unique_decode(
-    cache: KVCache, positions: jax.Array, k: jax.Array, v: jax.Array
+    cache: KVCache,
+    positions: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    uniform: bool = False,
 ) -> KVCache:
-    """Scatter one decode-step token per row at per-row ``positions``.
+    """Write one decode-step token per row at per-row ``positions``.
 
     positions: ``[b]`` int (may differ across rows when suffix lens are
     ragged). k, v: ``[L, b, hkv, 1, hd]``.
+
+    ``uniform=True`` (static) asserts all rows share ``positions[0]`` — the
+    common case (non-ragged suffixes) — and lowers to a contiguous
+    ``dynamic_update_slice`` touching only the new token's bytes. The general
+    per-row scatter rewrites whole cache tiles and measures ~100x slower on
+    TPU, so the engine tracks raggedness and picks the path statically.
     """
+    if uniform:
+        new_k = jax.lax.dynamic_update_slice(
+            cache.unique_k, k.astype(cache.unique_k.dtype),
+            (0, 0, 0, positions[0], 0),
+        )
+        new_v = jax.lax.dynamic_update_slice(
+            cache.unique_v, v.astype(cache.unique_v.dtype),
+            (0, 0, 0, positions[0], 0),
+        )
+        return cache._replace(unique_k=new_k, unique_v=new_v)
+
     b = k.shape[1]
     rows = jnp.arange(b)
     # Advanced indices on dims (1, 3) with slices between: result dims are

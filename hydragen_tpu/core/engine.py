@@ -158,14 +158,14 @@ def _unique_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, has_pad)
     jax.jit,
     static_argnames=(
         "cfg", "spec", "steps", "temperature", "top_p", "use_overrides",
-        "return_logits",
+        "return_logits", "uniform_pos",
     ),
     donate_argnames=("cache",),
 )
 def _decode_steps(
     params, cache, first_token, start_pos, start_unique_pos, rng,
     overrides, cfg, spec, steps, temperature, top_p, use_overrides,
-    return_logits,
+    return_logits, uniform_pos=False,
 ):
     """The hot loop (llama.py:1351-1380) as a single scanned program."""
 
@@ -178,7 +178,7 @@ def _decode_steps(
             params, cfg, cache, tok, pos, upos[:, None], spec,
             history_lens=upos,
         )
-        cache = update_unique_decode(cache, upos, nk, nv)
+        cache = update_unique_decode(cache, upos, nk, nv, uniform=uniform_pos)
         logits = logits_from_hidden(params, cfg, hidden)[:, 0]
         rng, sub = jax.random.split(rng)
         nxt = sample_from_logits(logits, sub, temperature, top_p, 1)
@@ -214,8 +214,18 @@ class HydragenLlama:
     """Stateful wrapper: params + cache + host-side level stack discipline."""
 
     def __init__(
-        self, config: ModelConfig, params, impl: Optional[str] = None, mesh=None
+        self,
+        config: ModelConfig,
+        params,
+        impl: Optional[str] = None,
+        mesh=None,
+        quantization: Optional[str] = None,
     ):
+        if quantization is not None:
+            from hydragen_tpu.ops.quant import quantize_params
+
+            assert quantization == "int8", f"unknown quantization {quantization!r}"
+            params = quantize_params(params)
         self.config = config
         self.params = params
         self.impl = impl
@@ -491,10 +501,14 @@ class HydragenLlama:
         steps = max_new_tokens - 1
         if steps > 0:
             spec = self._spec("decode", unique_history=True)
+            # Decode positions are uniform across rows unless the suffix
+            # prefill was ragged (then per-row scatter is required).
+            uniform_pos = suffix_lens is None
             toks, step_logits, self.cache = _decode_steps(
                 self.params, self.cache, input_first, start_pos,
                 start_unique_pos, rng, overrides_xs, self.config, spec, steps,
                 temperature, top_p, use_overrides, return_logits,
+                uniform_pos=uniform_pos,
             )
             tokens = jnp.concatenate([first_token, toks], axis=1)
             if return_logits:

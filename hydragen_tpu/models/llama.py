@@ -37,6 +37,7 @@ from hydragen_tpu.ops.hydragen import (
     unfold_shared_lse,
     unfold_shared_out,
 )
+from hydragen_tpu.ops.quant import qmatmul
 
 
 # ---------------------------------------------------------------------------
@@ -216,9 +217,9 @@ def model_forward(
         resid = h
         x = rms_norm(h, in_n, cfg.rms_norm_eps)
 
-        q = jnp.einsum("bth,hd->btd", x, wq)
-        k = jnp.einsum("bth,hd->btd", x, wk)
-        v = jnp.einsum("bth,hd->btd", x, wv)
+        q = qmatmul(x, wq, "bth,hd->btd")
+        k = qmatmul(x, wk, "bth,hd->btd")
+        v = qmatmul(x, wv, "bth,hd->btd")
         if has_bias:
             bq, bk, bv, bo = biases
             q, k, v = q + bq, k + bk, v + bv
@@ -272,16 +273,19 @@ def model_forward(
             attn = combine_lse(outs, lses)
 
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
-        attn = jnp.einsum("btd,dh->bth", attn, wo)
+        attn = qmatmul(attn, wo, "btd,dh->bth")
         if has_bias:
             attn = attn + biases[3]
         h = resid + attn
 
         resid = h
         x = rms_norm(h, post_n, cfg.rms_norm_eps)
-        g = jnp.einsum("bth,hi->bti", x, gate)
-        u = jnp.einsum("bth,hi->bti", x, up)
-        m = jnp.einsum("bti,ih->bth", jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, down)
+        g = qmatmul(x, gate, "bth,hi->bti")
+        u = qmatmul(x, up, "bth,hi->bti")
+        m = qmatmul(
+            jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, down,
+            "bti,ih->bth",
+        )
         h = resid + m
 
         return h, (k, v)
@@ -317,5 +321,5 @@ def logits_from_hidden(
         to_head = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)
     else:
         to_head = hidden[:, -1:]
-    logits = jnp.einsum("bth,hv->btv", to_head, params["lm_head"])
+    logits = qmatmul(to_head, params["lm_head"], "bth,hv->btv")
     return logits.astype(jnp.float32)

@@ -1,0 +1,93 @@
+"""Weight-only INT8 quantization.
+
+Beyond-reference capability (BASELINE.md north star: "Llama-2-7B, INT8
+weights / FP8 KV"): decode at small batch is weight-bandwidth-bound, so
+halving the bytes per weight (bf16 -> int8) is a direct ~2x decode lever on
+TPU. The reference's vestigial int4 KV path (xformers_stuff.py:431-530) is
+the pattern: scales packed beside payload, dequant fused into compute.
+
+Scheme: symmetric per-output-channel int8. Because the scale is
+per-output-channel, dequantization commutes with the contraction:
+
+    y = x @ (w_q * s)  ==  (x @ w_q) * s
+
+so the matmul runs on the int8 payload (cast to bf16 in VMEM — XLA fuses the
+convert into the dot operand, never materializing a bf16 weight copy in HBM)
+and the fp32 scale is one multiply on the small output.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedTensor(NamedTuple):
+    """int8 payload + fp32 per-output-channel scale.
+
+    q: ``[..., in_features, out_features]`` int8.
+    scale: ``[..., out_features]`` float32 (broadcast over in_features).
+    """
+
+    q: jax.Array
+    scale: jax.Array
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+
+def quantize(w: jax.Array, axis: int = -2) -> QuantizedTensor:
+    """Symmetric int8 quantization, reducing over ``axis`` (in_features).
+
+    w: ``[..., in, out]`` float; returns payload + scale s.t.
+    ``w ~= q * scale[..., None, :]``.
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q=q, scale=jnp.squeeze(scale, axis=axis))
+
+
+def dequantize(t: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
+    return (t.q.astype(jnp.float32) * t.scale[..., None, :]).astype(dtype)
+
+
+def qmatmul(x: jax.Array, w, subscripts: str) -> jax.Array:
+    """einsum over a maybe-quantized weight.
+
+    For ``QuantizedTensor``: contract against the int8 payload (cast to the
+    activation dtype; the convert fuses into the dot) then apply the
+    per-output-channel scale once on the result.
+    """
+    if isinstance(w, QuantizedTensor):
+        y = jnp.einsum(subscripts, x, w.q.astype(x.dtype))
+        return (y * w.scale.astype(jnp.float32)[None, None, :]).astype(x.dtype)
+    return jnp.einsum(subscripts, x, w)
+
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+
+
+def quantize_params(params: dict, quantize_lm_head: bool = True) -> dict:
+    """Quantize the large projection matrices of a Llama param pytree.
+
+    Embeddings stay high-precision (gather, not matmul); norms and biases are
+    tiny. Per-layer matrices are stacked ``[L, in, out]`` — quantized with
+    per-(layer, out-channel) scales.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in _QUANT_KEYS:
+        layers[k] = quantize(layers[k], axis=-2)
+    out["layers"] = layers
+    if quantize_lm_head:
+        out["lm_head"] = quantize(params["lm_head"], axis=-2)
+    return out

@@ -101,10 +101,28 @@ def cache_pspecs(cfg: ModelConfig, mesh: Mesh, cache: KVCache):
 
 
 def shard_params(params, cfg: ModelConfig, mesh: Mesh):
-    """Place the param pytree on the mesh with TP shardings."""
+    """Place the param pytree on the mesh with TP shardings.
+
+    Handles INT8-quantized weights (``QuantizedTensor``): the payload takes
+    the weight's spec; the per-output-channel scale takes the same spec with
+    the contracted (in-features, axis -2) dimension dropped.
+    """
+    from hydragen_tpu.ops.quant import QuantizedTensor
+
     specs = param_pspecs(cfg, mesh)
+
+    def place(x, s):
+        if isinstance(x, QuantizedTensor):
+            st = tuple(s) + (None,) * (x.q.ndim - len(tuple(s)))
+            scale_spec = P(*(st[:-2] + st[-1:]))
+            return QuantizedTensor(
+                q=jax.device_put(x.q, NamedSharding(mesh, s)),
+                scale=jax.device_put(x.scale, NamedSharding(mesh, scale_spec)),
+            )
+        return jax.device_put(x, NamedSharding(mesh, s))
+
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        place, params, specs, is_leaf=lambda x: isinstance(x, QuantizedTensor)
     )
 
 

@@ -75,6 +75,7 @@ def main():
     p.add_argument("--preset", default="sheared-llama-1.3b")
     p.add_argument("--pretrained", default=None)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--quantization", default=None, choices=[None, "int8"])
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=1)
@@ -88,7 +89,9 @@ def main():
     from hydragen_tpu.models.llama import init_params
 
     if args.pretrained:
-        engine = HydragenLlama.from_pretrained(args.pretrained, dtype=args.dtype)
+        engine = HydragenLlama.from_pretrained(
+            args.pretrained, dtype=args.dtype, quantization=args.quantization
+        )
         model_name = args.pretrained
     else:
         cfg = PRESETS[args.preset]
@@ -96,7 +99,10 @@ def main():
             import dataclasses
 
             cfg = dataclasses.replace(cfg, dtype=args.dtype)
-        engine = HydragenLlama(cfg, init_params(cfg, __import__("jax").random.PRNGKey(0)))
+        engine = HydragenLlama(
+            cfg, init_params(cfg, __import__("jax").random.PRNGKey(0)),
+            quantization=args.quantization,
+        )
         model_name = args.preset
     if args.tp * args.dp > 1:
         from hydragen_tpu.parallel import make_mesh

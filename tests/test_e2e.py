@@ -265,6 +265,40 @@ def test_starting_logits_resume(hf_model, engine):
     np.testing.assert_array_equal(np.asarray(out), ref_new)
 
 
+def test_ragged_suffix_lens(hf_model, engine):
+    """Right-padded ragged suffixes + per-row seq_lens: greedy parity row by
+    row vs HF (exercises the padded unique-prefill path and the per-row
+    scatter decode path)."""
+    rng = np.random.RandomState(12)
+    shared = rng.randint(1, VOCAB, size=(1, 6)).astype(np.int32)
+    lens = np.array([2, 4, 3], dtype=np.int32)
+    width = int(lens.max())
+    suffix = np.zeros((3, width), dtype=np.int32)
+    rows = [rng.randint(1, VOCAB, size=(l,)).astype(np.int32) for l in lens]
+    for i, r in enumerate(rows):
+        suffix[i, : len(r)] = r
+
+    max_new = 6
+    engine.setup_caches(
+        max_unique_batch_size=3,
+        max_unique_seq_length=width + max_new + 2,
+        max_shared_batch_sizes=[1],
+        max_shared_seq_lengths=[8],
+    )
+    out = engine.generate(
+        input_ids=[shared, suffix],
+        seq_lens=[None, lens],
+        max_new_tokens=max_new,
+        temperature=0.0,
+        shared_cache_op=SharedCacheOp.WIPE,
+    )
+    out = np.asarray(out)
+    for i, r in enumerate(rows):
+        full = np.concatenate([shared[0], r])[None, :]
+        ref_new, _ = hf_reference_generate(hf_model, full, max_new)
+        np.testing.assert_array_equal(out[i : i + 1], ref_new)
+
+
 def test_eos_early_stop(hf_model, engine):
     rng = np.random.RandomState(11)
     prompt = rng.randint(1, VOCAB, size=(1, 4)).astype(np.int32)

@@ -1,0 +1,90 @@
+"""INT8 weight-only quantization: op correctness + end-to-end quality."""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
+from hydragen_tpu.models.config import ModelConfig
+from hydragen_tpu.models.llama import init_params
+from hydragen_tpu.ops.quant import QuantizedTensor, dequantize, qmatmul, quantize, quantize_params
+
+
+def test_quantize_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 128), jnp.float32)
+    t = quantize(w)
+    assert t.q.dtype == jnp.int8 and t.q.shape == w.shape
+    assert t.scale.shape == (128,)
+    back = dequantize(t, jnp.float32)
+    # int8 symmetric: max relative error per channel ~ 1/127 of channel amax.
+    err = np.abs(np.asarray(back - w))
+    amax = np.abs(np.asarray(w)).max(axis=0, keepdims=True)
+    assert (err <= amax / 127.0 * 0.5 + 1e-6).all()
+
+
+def test_qmatmul_matches_dequantized():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(k1, (2, 3, 64), jnp.float32)
+    w = jax.random.normal(k2, (64, 128), jnp.float32)
+    t = quantize(w)
+    got = qmatmul(x, t, "bth,hd->btd")
+    want = jnp.einsum("bth,hd->btd", x, dequantize(t, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-3)
+
+
+def test_quantized_engine_generates_same_argmax_mostly():
+    """Greedy tokens from the int8 engine should mostly match fp32."""
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32",
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+
+    def run(quantization):
+        eng = HydragenLlama(cfg, params, quantization=quantization)
+        eng.setup_caches(2, 16, [1], [8])
+        rng = np.random.RandomState(0)
+        out, logits = eng.generate(
+            input_ids=[rng.randint(1, 128, (1, 6)).astype(np.int32),
+                       rng.randint(1, 128, (2, 3)).astype(np.int32)],
+            max_new_tokens=6, temperature=0.0, return_logits=True,
+            shared_cache_op=SharedCacheOp.WIPE,
+        )
+        return np.asarray(out), [np.asarray(l) for l in logits]
+
+    t_fp, l_fp = run(None)
+    t_q, l_q = run("int8")
+    # Logits close in relative terms (random-init logits are O(1)).
+    for a, b in zip(l_fp, l_q):
+        assert np.abs(a - b).mean() < 0.05 * np.abs(a).mean() + 0.05
+    # Tokens need not be identical everywhere, but must mostly agree.
+    assert (t_fp == t_q).mean() >= 0.5
+
+
+def test_quantized_params_sharding():
+    from hydragen_tpu.parallel import make_mesh, shard_params
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        dtype="float32",
+    )
+    qp = quantize_params(init_params(cfg, jax.random.PRNGKey(0)))
+    mesh = make_mesh(tp=4)
+    sp = shard_params(qp, cfg, mesh)
+    wq = sp["layers"]["wq"]
+    assert isinstance(wq, QuantizedTensor)
+    hq = cfg.num_attention_heads * cfg.head_dim
+    assert {s.data.shape for s in wq.q.addressable_shards} == {
+        (cfg.num_hidden_layers, cfg.hidden_size, hq // 4)
+    }
+    assert {s.data.shape for s in wq.scale.addressable_shards} == {
+        (cfg.num_hidden_layers, hq // 4)
+    }
