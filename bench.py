@@ -26,7 +26,8 @@ from hydragen_tpu.models.llama import init_params
 from hydragen_tpu.utils.timing import timed
 
 
-def run_config(engine, prompt, bs, new_tokens, disable_hydragen, iters=3):
+def run_config(engine, prompt, bs, new_tokens, disable_hydragen, iters=3,
+               kv_quant=None):
     shared_len = prompt.shape[1]
     unique_len = new_tokens + 8
     if disable_hydragen:
@@ -36,6 +37,7 @@ def run_config(engine, prompt, bs, new_tokens, disable_hydragen, iters=3):
         max_unique_seq_length=unique_len,
         max_shared_batch_sizes=[1],
         max_shared_seq_lengths=[shared_len],
+        kv_quant=kv_quant,
     )
 
     def gen():
@@ -58,6 +60,7 @@ def main():
     new_tokens = int(os.environ.get("HYDRAGEN_BENCH_NEW", "64"))
 
     quant = os.environ.get("HYDRAGEN_BENCH_QUANT") or None
+    kv_quant = os.environ.get("HYDRAGEN_BENCH_KV") or None
 
     cfg = PRESETS["sheared-llama-1.3b"]
     params = init_params(cfg, jax.random.PRNGKey(0))
@@ -66,8 +69,10 @@ def main():
     rng = np.random.RandomState(0)
     prompt = rng.randint(1, cfg.vocab_size, size=(1, shared_len)).astype(np.int32)
 
-    tput = run_config(engine, prompt, bs, new_tokens, disable_hydragen=False)
-    base = run_config(engine, prompt, bs, new_tokens, disable_hydragen=True)
+    tput = run_config(engine, prompt, bs, new_tokens, disable_hydragen=False,
+                      kv_quant=kv_quant)
+    base = run_config(engine, prompt, bs, new_tokens, disable_hydragen=True,
+                      kv_quant=kv_quant)
 
     print(json.dumps({
         "metric": "decode_throughput_1.3b_bs%d_shared%d" % (bs, shared_len),

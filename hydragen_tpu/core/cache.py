@@ -19,26 +19,41 @@ TPU-native re-design of the reference's mutable cache modules
   llama.py:223-234,335-346) lives on the *host* in the engine: the number of
   active levels is a static specialization key, exactly like the reference's
   CUDA-graph recapture conditions (llama.py:797-810).
+- Optional **int8 KV quantization**: payloads stored int8 with per-(token,
+  head) fp32 scales (``k_scale``/``v_scale`` arrays, None when disabled);
+  writers quantize, readers dequantize fused into the attention matmul.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from hydragen_tpu.ops.quant import quantize_kv
+
+
+def _maybe_quantize(x: jax.Array, quantized: bool):
+    """-> (payload, scale|None) in the cache's storage format."""
+    if quantized:
+        return quantize_kv(x)
+    return x, None
 
 
 class SharedLevel(NamedTuple):
     """One level of the shared-prefix hierarchy, all layers stacked.
 
-    k, v: ``[L, sb, hkv, S, hd]`` right-padded KV.
+    k, v: ``[L, sb, hkv, S, hd]`` right-padded KV (storage dtype; int8 when
+    quantized). k_scale, v_scale: ``[L, sb, hkv, S]`` f32 or None.
     seq_lens: ``[sb]`` int32 true prefix lengths (shared across layers).
     """
 
     k: jax.Array
     v: jax.Array
     seq_lens: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_batch_size(self) -> int:
@@ -48,11 +63,16 @@ class SharedLevel(NamedTuple):
     def max_seq_len(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 class KVCache(NamedTuple):
     """Full cache state: unique cache + allocated shared levels.
 
     unique_k, unique_v: ``[L, B, hkv, U, hd]``.
+    unique_k_scale, unique_v_scale: ``[L, B, hkv, U]`` f32 or None.
     shared: tuple of allocated ``SharedLevel`` (static length; how many are
     *active* is tracked by the engine as a static int).
     """
@@ -60,6 +80,8 @@ class KVCache(NamedTuple):
     unique_k: jax.Array
     unique_v: jax.Array
     shared: Tuple[SharedLevel, ...]
+    unique_k_scale: Optional[jax.Array] = None
+    unique_v_scale: Optional[jax.Array] = None
 
     @property
     def max_unique_batch_size(self) -> int:
@@ -68,6 +90,10 @@ class KVCache(NamedTuple):
     @property
     def max_unique_seq_len(self) -> int:
         return self.unique_k.shape[3]
+
+    @property
+    def quantized(self) -> bool:
+        return self.unique_k_scale is not None
 
 
 def allocate_cache(
@@ -79,23 +105,33 @@ def allocate_cache(
     num_kv_heads: int,
     head_dim: int,
     dtype=jnp.bfloat16,
+    quantized: bool = False,
 ) -> KVCache:
     """Allocate zeroed cache buffers (mirrors setup_caches, llama.py:921-955)."""
     assert len(max_shared_batch_sizes) == len(max_shared_seq_lengths)
-    uk = jnp.zeros(
-        (num_layers, max_unique_batch_size, num_kv_heads, max_unique_seq_length, head_dim),
-        dtype=dtype,
-    )
-    uv = jnp.zeros_like(uk)
+    store_dtype = jnp.int8 if quantized else dtype
+
+    def bufs(b, s):
+        k = jnp.zeros((num_layers, b, num_kv_heads, s, head_dim), dtype=store_dtype)
+        if quantized:
+            sc = jnp.zeros((num_layers, b, num_kv_heads, s), dtype=jnp.float32)
+        else:
+            sc = None
+        return k, jnp.zeros_like(k), sc, (None if sc is None else jnp.zeros_like(sc))
+
+    uk, uv, uks, uvs = bufs(max_unique_batch_size, max_unique_seq_length)
     shared = tuple(
         SharedLevel(
-            k=jnp.zeros((num_layers, sb, num_kv_heads, sl, head_dim), dtype=dtype),
-            v=jnp.zeros((num_layers, sb, num_kv_heads, sl, head_dim), dtype=dtype),
+            k=b[0], v=b[1], k_scale=b[2], v_scale=b[3],
             seq_lens=jnp.zeros((sb,), dtype=jnp.int32),
         )
         for sb, sl in zip(max_shared_batch_sizes, max_shared_seq_lengths)
+        for b in (bufs(sb, sl),)
     )
-    return KVCache(unique_k=uk, unique_v=uv, shared=shared)
+    return KVCache(
+        unique_k=uk, unique_v=uv, shared=shared,
+        unique_k_scale=uks, unique_v_scale=uvs,
+    )
 
 
 def shared_len_for_batch(
@@ -117,6 +153,10 @@ def shared_len_for_batch(
     return total
 
 
+def _block_update(buf, val, start_idx):
+    return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), start_idx)
+
+
 def fill_shared_level(
     cache: KVCache,
     level_idx: int,
@@ -126,7 +166,8 @@ def fill_shared_level(
 ) -> KVCache:
     """Write a freshly-prefilled level (``SharedCache.fill``, llama.py:120-167).
 
-    k, v: ``[L, sb, hkv, t, hd]`` — all layers of the new level's KV.
+    k, v: ``[L, sb, hkv, t, hd]`` — all layers of the new level's KV (compute
+    dtype; quantized here if the cache stores int8).
     seq_lens: ``[sb]`` true lengths (padding beyond is ignored by masking).
     """
     level = cache.shared[level_idx]
@@ -134,34 +175,42 @@ def fill_shared_level(
     assert sb <= level.max_batch_size and t <= level.max_seq_len, (
         f"level {level_idx}: got [{sb},{t}] max [{level.max_batch_size},{level.max_seq_len}]"
     )
-    new_k = jax.lax.dynamic_update_slice(
-        level.k, k.astype(level.k.dtype), (0, 0, 0, 0, 0)
+    zeros5 = (0, 0, 0, 0, 0)
+    kq, ks = _maybe_quantize(k, level.quantized)
+    vq, vs = _maybe_quantize(v, level.quantized)
+    new_level = level._replace(
+        k=_block_update(level.k, kq, zeros5),
+        v=_block_update(level.v, vq, zeros5),
+        k_scale=None if ks is None else _block_update(level.k_scale, ks, zeros5[:4]),
+        v_scale=None if vs is None else _block_update(level.v_scale, vs, zeros5[:4]),
+        seq_lens=level.seq_lens.at[:sb].set(seq_lens.astype(jnp.int32)),
     )
-    new_v = jax.lax.dynamic_update_slice(
-        level.v, v.astype(level.v.dtype), (0, 0, 0, 0, 0)
-    )
-    new_lens = level.seq_lens.at[:sb].set(seq_lens.astype(jnp.int32))
-    new_level = SharedLevel(k=new_k, v=new_v, seq_lens=new_lens)
     shared = tuple(
         new_level if i == level_idx else lv for i, lv in enumerate(cache.shared)
     )
     return cache._replace(shared=shared)
 
 
-def update_unique_prefill(cache: KVCache, k: jax.Array, v: jax.Array) -> KVCache:
-    """Write prefill KVs at unique positions ``[0, t)`` for rows ``[0, b)``.
+def update_unique_prefill(
+    cache: KVCache, k: jax.Array, v: jax.Array, start: jax.Array | int = 0
+) -> KVCache:
+    """Write prefill KVs at unique positions ``[start, start+t)`` for rows
+    ``[0, b)``.
 
-    k, v: ``[L, b, hkv, t, hd]``. Unique prefill always starts at position 0
-    (the unique cache is fresh), so this is a contiguous block update — far
-    cheaper than the reference's general scatter (llama.py:236-262).
+    k, v: ``[L, b, hkv, t, hd]``. ``start`` is 0 for normal unique prefill
+    (fresh cache => contiguous block update, far cheaper than the reference's
+    general scatter, llama.py:236-262); the disable_hydragen baseline passes
+    the copied shared length.
     """
-    new_k = jax.lax.dynamic_update_slice(
-        cache.unique_k, k.astype(cache.unique_k.dtype), (0, 0, 0, 0, 0)
+    idx = (0, 0, 0, start, 0)
+    kq, ks = _maybe_quantize(k, cache.quantized)
+    vq, vs = _maybe_quantize(v, cache.quantized)
+    return cache._replace(
+        unique_k=_block_update(cache.unique_k, kq, idx),
+        unique_v=_block_update(cache.unique_v, vq, idx),
+        unique_k_scale=None if ks is None else _block_update(cache.unique_k_scale, ks, idx[:4]),
+        unique_v_scale=None if vs is None else _block_update(cache.unique_v_scale, vs, idx[:4]),
     )
-    new_v = jax.lax.dynamic_update_slice(
-        cache.unique_v, v.astype(cache.unique_v.dtype), (0, 0, 0, 0, 0)
-    )
-    return cache._replace(unique_k=new_k, unique_v=new_v)
 
 
 def update_unique_decode(
@@ -179,33 +228,40 @@ def update_unique_decode(
     ``uniform=True`` (static) asserts all rows share ``positions[0]`` — the
     common case (non-ragged suffixes) — and lowers to a contiguous
     ``dynamic_update_slice`` touching only the new token's bytes. The general
-    per-row scatter rewrites whole cache tiles and measures ~100x slower on
-    TPU, so the engine tracks raggedness and picks the path statically.
+    per-row scatter rewrites whole cache tiles on TPU, so the engine tracks
+    raggedness and picks the path statically.
     """
+    kq, ks = _maybe_quantize(k, cache.quantized)
+    vq, vs = _maybe_quantize(v, cache.quantized)
+
     if uniform:
-        new_k = jax.lax.dynamic_update_slice(
-            cache.unique_k, k.astype(cache.unique_k.dtype),
-            (0, 0, 0, positions[0], 0),
+        idx = (0, 0, 0, positions[0], 0)
+        return cache._replace(
+            unique_k=_block_update(cache.unique_k, kq, idx),
+            unique_v=_block_update(cache.unique_v, vq, idx),
+            unique_k_scale=None if ks is None else _block_update(cache.unique_k_scale, ks, idx[:4]),
+            unique_v_scale=None if vs is None else _block_update(cache.unique_v_scale, vs, idx[:4]),
         )
-        new_v = jax.lax.dynamic_update_slice(
-            cache.unique_v, v.astype(cache.unique_v.dtype),
-            (0, 0, 0, positions[0], 0),
-        )
-        return cache._replace(unique_k=new_k, unique_v=new_v)
 
     b = k.shape[1]
     rows = jnp.arange(b)
-    # Advanced indices on dims (1, 3) with slices between: result dims are
-    # moved to the front, so the value must be [b, L, hkv, hd].
-    val_k = k[:, :, :, 0].transpose(1, 0, 2, 3)
-    val_v = v[:, :, :, 0].transpose(1, 0, 2, 3)
-    new_k = cache.unique_k.at[:, rows, :, positions].set(
-        val_k.astype(cache.unique_k.dtype)
+
+    def scatter5(buf, val):
+        # Advanced indices on dims (1, 3) with slices between: result dims
+        # move to the front, so the value must be [b, L, hkv, hd].
+        value = val[:, :, :, 0].transpose(1, 0, 2, 3)
+        return buf.at[:, rows, :, positions].set(value.astype(buf.dtype))
+
+    def scatter4(buf, val):
+        value = val[:, :, :, 0].transpose(1, 0, 2)
+        return buf.at[:, rows, :, positions].set(value.astype(buf.dtype))
+
+    return cache._replace(
+        unique_k=scatter5(cache.unique_k, kq),
+        unique_v=scatter5(cache.unique_v, vq),
+        unique_k_scale=None if ks is None else scatter4(cache.unique_k_scale, ks),
+        unique_v_scale=None if vs is None else scatter4(cache.unique_v_scale, vs),
     )
-    new_v = cache.unique_v.at[:, rows, :, positions].set(
-        val_v.astype(cache.unique_v.dtype)
-    )
-    return cache._replace(unique_k=new_k, unique_v=new_v)
 
 
 def repeat_unique_for_samples(
@@ -217,15 +273,17 @@ def repeat_unique_for_samples(
     """
     if num_samples == 1:
         return cache
-    rep_k = jnp.repeat(cache.unique_k[:, :current_size], num_samples, axis=1)
-    rep_v = jnp.repeat(cache.unique_v[:, :current_size], num_samples, axis=1)
-    new_k = jax.lax.dynamic_update_slice(
-        cache.unique_k, rep_k.astype(cache.unique_k.dtype), (0, 0, 0, 0, 0)
+
+    def rep(buf):
+        r = jnp.repeat(buf[:, :current_size], num_samples, axis=1)
+        return jax.lax.dynamic_update_slice(buf, r, (0,) * buf.ndim)
+
+    return cache._replace(
+        unique_k=rep(cache.unique_k),
+        unique_v=rep(cache.unique_v),
+        unique_k_scale=None if cache.unique_k_scale is None else rep(cache.unique_k_scale),
+        unique_v_scale=None if cache.unique_v_scale is None else rep(cache.unique_v_scale),
     )
-    new_v = jax.lax.dynamic_update_slice(
-        cache.unique_v, rep_v.astype(cache.unique_v.dtype), (0, 0, 0, 0, 0)
-    )
-    return cache._replace(unique_k=new_k, unique_v=new_v)
 
 
 def copy_shared_to_unique(cache: KVCache, total_num_sequences: int) -> KVCache:
@@ -241,12 +299,15 @@ def copy_shared_to_unique(cache: KVCache, total_num_sequences: int) -> KVCache:
     assert total_num_sequences % sb == 0
     rep = total_num_sequences // sb
     S = level.max_seq_len
-    k_rep = jnp.repeat(level.k, rep, axis=1)  # [L, total, hkv, S, hd]
-    v_rep = jnp.repeat(level.v, rep, axis=1)
-    new_k = cache.unique_k.at[:, :total_num_sequences, :, :S].set(
-        k_rep.astype(cache.unique_k.dtype)
+    assert level.quantized == cache.quantized
+
+    def cp(dst, src):
+        r = jnp.repeat(src, rep, axis=1)
+        return dst.at[:, :total_num_sequences, :, :S].set(r.astype(dst.dtype))
+
+    return cache._replace(
+        unique_k=cp(cache.unique_k, level.k),
+        unique_v=cp(cache.unique_v, level.v),
+        unique_k_scale=None if cache.unique_k_scale is None else cp(cache.unique_k_scale, level.k_scale),
+        unique_v_scale=None if cache.unique_v_scale is None else cp(cache.unique_v_scale, level.v_scale),
     )
-    new_v = cache.unique_v.at[:, :total_num_sequences, :, :S].set(
-        v_rep.astype(cache.unique_v.dtype)
-    )
-    return cache._replace(unique_k=new_k, unique_v=new_v)

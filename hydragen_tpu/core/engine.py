@@ -137,17 +137,8 @@ def _unique_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, has_pad)
     )
     if spec.disable_hydragen:
         # All rows share one prefix length (enforced by generate): contiguous
-        # block update at a dynamic offset.
-        cache = cache._replace(
-            unique_k=jax.lax.dynamic_update_slice(
-                cache.unique_k, nk.astype(cache.unique_k.dtype),
-                (0, 0, 0, shared_lens[0], 0),
-            ),
-            unique_v=jax.lax.dynamic_update_slice(
-                cache.unique_v, nv.astype(cache.unique_v.dtype),
-                (0, 0, 0, shared_lens[0], 0),
-            ),
-        )
+        # block update at a dynamic offset after the copied shared prefix.
+        cache = update_unique_prefill(cache, nk, nv, start=shared_lens[0])
     else:
         cache = update_unique_prefill(cache, nk, nv)
     logits = logits_from_hidden(params, cfg, hidden, seq_lens if has_pad else None)
@@ -268,6 +259,35 @@ class HydragenLlama:
         cfg, params = hf.from_hf_model(hf_model, dtype=dtype)
         return cls(cfg, params, **kw)
 
+    @classmethod
+    def from_pretrained_tp(
+        cls, model_name_or_path: str, tp: int = 0, dp: int = 1,
+        dtype: str = "bfloat16", **kw,
+    ):
+        """Load + shard over a (dp, tp) mesh in one call.
+
+        Parity with the reference's ``from_pretrained_tp`` (tp.py:135-178),
+        minus the offline per-rank weight files (make_tp_files.py): under
+        JAX's single-controller model the host loads once and
+        ``jax.device_put`` scatters shards directly, so no ``{rank}.pt``
+        stage exists.
+        """
+        from hydragen_tpu.parallel import make_mesh
+
+        import jax
+
+        if tp <= 0:
+            tp = jax.device_count() // dp
+        return cls.from_pretrained(
+            model_name_or_path, dtype=dtype, mesh=make_mesh(tp=tp, dp=dp), **kw
+        )
+
+    def graph(self, *args, **kwargs):
+        """API-parity shim (llama.py:898): CUDA-graph capture is replaced by
+        jit specialization — compilation happens on first call and is cached
+        on the same static attributes the reference's graph wrapper checks."""
+        return self
+
     # -- cache management (llama.py:921-955, 1048-1071) ---------------------
 
     def setup_caches(
@@ -277,7 +297,14 @@ class HydragenLlama:
         max_shared_batch_sizes: Sequence[int] = (),
         max_shared_seq_lengths: Sequence[int] = (),
         cache_dtype=None,
+        kv_quant: Optional[str] = None,
     ):
+        """Pre-allocate all cache buffers (llama.py:921-955).
+
+        kv_quant="int8" stores KV payloads int8 with per-(token, head) fp32
+        scales — halves KV HBM footprint and decode-attention bandwidth.
+        """
+        assert kv_quant in (None, "int8"), f"unknown kv_quant {kv_quant!r}"
         cfg = self.config
         # Round up so decode-kernel KV blocks tile cleanly.
         max_unique_seq_length = -(-max_unique_seq_length // 16) * 16
@@ -290,6 +317,7 @@ class HydragenLlama:
             cfg.num_key_value_heads,
             cfg.head_dim,
             dtype=cache_dtype or cfg.jax_dtype,
+            quantized=kv_quant == "int8",
         )
         self.num_used_levels = 0
         self.level_filled = []

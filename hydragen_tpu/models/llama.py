@@ -202,12 +202,33 @@ def model_forward(
     active_levels = cache.shared[: spec.num_used_levels]
     # Static slice of each level to its filled length (the reference's
     # sliced_sequence_length fast path, llama.py:377-400, minus varlen).
-    level_ks = [lv.k[:, :, :, :fl] for lv, fl in zip(active_levels, spec.level_filled)]
-    level_vs = [lv.v[:, :, :, :fl] for lv, fl in zip(active_levels, spec.level_filled)]
+    # Quantized caches carry (payload, scale) pairs; dequantization happens
+    # in the layer body so XLA fuses the multiply into the attention matmul's
+    # operand read.
+    def kv_view(payload, scale, fl, rows=None):
+        p = payload[:, :rows, :, :fl] if rows is not None else payload[:, :, :, :fl]
+        if scale is None:
+            return (p, None)
+        s = scale[:, :rows, :, :fl] if rows is not None else scale[:, :, :, :fl]
+        return (p, s)
+
+    level_ks = [kv_view(lv.k, lv.k_scale, fl) for lv, fl in zip(active_levels, spec.level_filled)]
+    level_vs = [kv_view(lv.v, lv.v_scale, fl) for lv, fl in zip(active_levels, spec.level_filled)]
     level_lens = [lv.seq_lens for lv in active_levels]
 
-    uk = cache.unique_k[:, :b, :, : spec.unique_filled] if spec.unique_history else None
-    uv = cache.unique_v[:, :b, :, : spec.unique_filled] if spec.unique_history else None
+    if spec.unique_history:
+        uk = kv_view(cache.unique_k, cache.unique_k_scale, spec.unique_filled, rows=b)
+        uv = kv_view(cache.unique_v, cache.unique_v_scale, spec.unique_filled, rows=b)
+    else:
+        uk = uv = None
+
+    def deq(pair):
+        payload, scale = pair
+        if scale is None:
+            return payload
+        from hydragen_tpu.ops.quant import dequantize_kv
+
+        return dequantize_kv(payload, scale, cfg.jax_dtype)
 
     lp = params["layers"]
     has_bias = "bq" in lp
@@ -237,17 +258,18 @@ def model_forward(
             outs, lses = [], []
             if not spec.disable_hydragen:
                 for (lk, lv_), lens in zip(lvl_kv, level_lens):
-                    sb = lk.shape[0]
+                    sb = lk[0].shape[0]
                     bq_ = fold_queries_for_shared(q, sb)
                     o, l = _attention(
-                        bq_, lk, lv_, causal=False, kv_seq_lens=lens, impl=impl
+                        bq_, deq(lk), deq(lv_), causal=False, kv_seq_lens=lens,
+                        impl=impl,
                     )
                     outs.append(unfold_shared_out(o, b, t))
                     lses.append(unfold_shared_lse(l, b, t))
             if ukv is not None:
                 o, l = _attention(
-                    q, ukv[0], ukv[1], causal=False, kv_seq_lens=history_lens,
-                    impl=impl,
+                    q, deq(ukv[0]), deq(ukv[1]), causal=False,
+                    kv_seq_lens=history_lens, impl=impl,
                 )
                 outs.append(o)
                 lses.append(l)

@@ -73,6 +73,29 @@ def qmatmul(x: jax.Array, w, subscripts: str) -> jax.Array:
     return jnp.einsum(subscripts, x, w)
 
 
+# --- KV-cache quantization -------------------------------------------------
+#
+# Per-token-per-head symmetric int8: scale = amax over head_dim / 127. The
+# reference's int4 KV path packs fp16 scale+shift in a row header
+# (xformers_stuff.py:431-530); on TPU a separate small scale array keeps the
+# payload layout MXU/DMA-friendly (int8 tiles) and the dequant multiply fuses
+# into the attention matmul's operand read. v5e/v5p have no fp8 matmul units,
+# so int8 is the native low-bit KV format here.
+
+
+def quantize_kv(x: jax.Array):
+    """x ``[..., d]`` float -> (q int8 ``[..., d]``, scale f32 ``[...]``)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, jnp.squeeze(scale, -1)
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
 
 

@@ -89,15 +89,21 @@ def cache_pspecs(cfg: ModelConfig, mesh: Mesh, cache: KVCache):
     batch_shard = dp if dp and cache.max_unique_batch_size % dp_size == 0 else None
 
     ukv = P(None, batch_shard, head_shard, None, None)
+    uscale = P(None, batch_shard, head_shard, None) if cache.quantized else None
     shared = tuple(
         SharedLevel(
             k=P(None, None, head_shard, None, None),
             v=P(None, None, head_shard, None, None),
             seq_lens=P(None),
+            k_scale=P(None, None, head_shard, None) if lv.quantized else None,
+            v_scale=P(None, None, head_shard, None) if lv.quantized else None,
         )
-        for _ in cache.shared
+        for lv in cache.shared
     )
-    return KVCache(unique_k=ukv, unique_v=ukv, shared=shared)
+    return KVCache(
+        unique_k=ukv, unique_v=ukv, shared=shared,
+        unique_k_scale=uscale, unique_v_scale=uscale,
+    )
 
 
 def shard_params(params, cfg: ModelConfig, mesh: Mesh):

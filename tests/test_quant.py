@@ -66,6 +66,50 @@ def test_quantized_engine_generates_same_argmax_mostly():
     assert (t_fp == t_q).mean() >= 0.5
 
 
+def test_kv_quant_roundtrip():
+    from hydragen_tpu.ops.quant import dequantize_kv, quantize_kv
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 5, 64), jnp.float32)
+    q, s = quantize_kv(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 3, 5)
+    back = dequantize_kv(q, s, jnp.float32)
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    assert (np.abs(np.asarray(back - x)) <= amax / 127.0 * 0.5 + 1e-6).all()
+
+
+def test_kv_quant_engine_close_to_fp():
+    """int8 KV cache: logits close to the fp cache engine, incl. the
+    hierarchy + nrs path and the disable_hydragen baseline path."""
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32",
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    shared = rng.randint(1, 128, (1, 6)).astype(np.int32)
+    suffix = rng.randint(1, 128, (2, 3)).astype(np.int32)
+
+    def run(kv_quant, disable_hydragen=False):
+        eng = HydragenLlama(cfg, params)
+        eng.setup_caches(4, 24, [1, 2], [8, 8], kv_quant=kv_quant)
+        out, logits = eng.generate(
+            input_ids=[shared, suffix],
+            num_return_sequences=2 if not disable_hydragen else 1,
+            max_new_tokens=5, temperature=0.0, return_logits=True,
+            shared_cache_op=SharedCacheOp.WIPE,
+            disable_hydragen=disable_hydragen,
+        )
+        return np.asarray(out), [np.asarray(l) for l in logits]
+
+    for disable in (False, True):
+        t_fp, l_fp = run(None, disable)
+        t_q, l_q = run("int8", disable)
+        for a, b in zip(l_fp, l_q):
+            assert np.abs(a - b).mean() < 0.05 * np.abs(a).mean() + 0.05
+        assert (t_fp == t_q).mean() >= 0.5
+
+
 def test_quantized_params_sharding():
     from hydragen_tpu.parallel import make_mesh, shard_params
 
