@@ -59,7 +59,9 @@ def main():
     shared_len = int(os.environ.get("HYDRAGEN_BENCH_SHARED", "1024"))
     new_tokens = int(os.environ.get("HYDRAGEN_BENCH_NEW", "64"))
 
-    quant = os.environ.get("HYDRAGEN_BENCH_QUANT") or None
+    # North-star config (BASELINE.md): INT8 weights. "none" reverts to bf16.
+    quant = os.environ.get("HYDRAGEN_BENCH_QUANT", "int8")
+    quant = None if quant in ("", "none") else quant
     kv_quant = os.environ.get("HYDRAGEN_BENCH_KV") or None
 
     cfg = PRESETS["sheared-llama-1.3b"]
@@ -74,8 +76,9 @@ def main():
     base = run_config(engine, prompt, bs, new_tokens, disable_hydragen=True,
                       kv_quant=kv_quant)
 
+    tag = quant or "bf16"
     print(json.dumps({
-        "metric": "decode_throughput_1.3b_bs%d_shared%d" % (bs, shared_len),
+        "metric": "decode_throughput_1.3b_%s_bs%d_shared%d" % (tag, bs, shared_len),
         "value": round(tput, 1),
         "unit": "tok/s",
         "vs_baseline": round(tput / base, 3),

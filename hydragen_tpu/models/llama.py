@@ -326,7 +326,18 @@ def model_forward(
         (uk, uv) if uk is not None else None,
     )
 
-    h, (new_k, new_v) = jax.lax.scan(layer, h, xs)
+    # Decode with int8 weights unrolls the layer loop: each dequant-matmul
+    # fusion then binds its weight slice at a static offset, letting XLA's
+    # latency-hiding scheduler prefetch the next layer's int8 payload during
+    # the current layer's compute (measured +6% decode on v5e; a scanned body
+    # reads weights through a dynamic-slice, which blocks that). bf16 decode
+    # and prefill keep the rolled scan — measured faster there, and
+    # compilation is 24x cheaper.
+    from hydragen_tpu.ops.quant import QuantizedTensor
+
+    quantized = isinstance(lp["wq"], QuantizedTensor)
+    unroll = cfg.num_hidden_layers if (t == 1 and quantized) else 1
+    h, (new_k, new_v) = jax.lax.scan(layer, h, xs, unroll=unroll)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     return h, new_k, new_v
 

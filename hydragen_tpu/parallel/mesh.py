@@ -7,6 +7,10 @@ addressable devices and every jitted program is automatically SPMD over it.
 
 Axes:
 - ``dp``: data parallel — unique-batch rows are sharded; no communication.
+- ``sp``: sequence parallel over the *shared-prefix* KV — each shard holds a
+  slice of the prefix sequence and attends to it locally; partials merge via
+  the same LSE math as ``combine_lse`` ("distributed split-K", SURVEY.md §5).
+  The reference has no equivalent (its long context lives on one TP group).
 - ``tp``: tensor parallel — attention heads / MLP channels are sharded;
   GSPMD inserts the per-layer all-reduces (the reference's tp.py:84-112
   hooks) over ICI.
@@ -24,9 +28,10 @@ from jax.sharding import Mesh
 def make_mesh(
     tp: int = 1,
     dp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ``(dp, tp)`` mesh.
+    """Build a ``(dp, sp, tp)`` mesh.
 
     On multi-host slices call ``jax.distributed.initialize()`` first; this
     uses all addressable+global devices like any pjit program. The ``tp``
@@ -35,7 +40,7 @@ def make_mesh(
     """
     if devices is None:
         devices = jax.devices()
-    n = tp * dp
+    n = tp * dp * sp
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    arr = np.asarray(devices[:n]).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+    arr = np.asarray(devices[:n]).reshape(dp, sp, tp)
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))

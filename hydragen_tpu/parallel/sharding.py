@@ -76,27 +76,36 @@ def cache_pspecs(cfg: ModelConfig, mesh: Mesh, cache: KVCache):
     """PartitionSpec pytree matching a ``KVCache``.
 
     Unique cache: batch over ``dp``, kv-heads over ``tp``.
-    Shared levels: kv-heads over ``tp`` only (a level's prefixes are shared
-    by rows on every dp shard, so its KV is replicated across ``dp`` — the
-    whole point of Hydragen is that this buffer is small).
+    Shared levels: kv-heads over ``tp``, prefix *sequence* over ``sp``
+    (distributed split-K: each sp shard attends its slice; the LSE merge is
+    exact, so GSPMD's collective combine preserves the math). A level's
+    prefixes are shared by rows on every dp shard, so shared KV is
+    replicated across ``dp`` — the whole point of Hydragen is that this
+    buffer is small.
     """
     tp = _axis(mesh, "tp")
     dp = _axis(mesh, "dp")
+    sp = _axis(mesh, "sp")
     tp_size = mesh.shape["tp"] if tp else 1
     head_shard = tp if tp and cfg.num_key_value_heads % tp_size == 0 else None
 
     dp_size = mesh.shape["dp"] if dp else 1
     batch_shard = dp if dp and cache.max_unique_batch_size % dp_size == 0 else None
+    sp_size = mesh.shape["sp"] if sp else 1
 
     ukv = P(None, batch_shard, head_shard, None, None)
     uscale = P(None, batch_shard, head_shard, None) if cache.quantized else None
+
+    def level_seq_shard(lv):
+        return sp if sp and lv.max_seq_len % sp_size == 0 else None
+
     shared = tuple(
         SharedLevel(
-            k=P(None, None, head_shard, None, None),
-            v=P(None, None, head_shard, None, None),
+            k=P(None, None, head_shard, level_seq_shard(lv), None),
+            v=P(None, None, head_shard, level_seq_shard(lv), None),
             seq_lens=P(None),
-            k_scale=P(None, None, head_shard, None) if lv.quantized else None,
-            v_scale=P(None, None, head_shard, None) if lv.quantized else None,
+            k_scale=P(None, None, head_shard, level_seq_shard(lv)) if lv.quantized else None,
+            v_scale=P(None, None, head_shard, level_seq_shard(lv)) if lv.quantized else None,
         )
         for lv in cache.shared
     )

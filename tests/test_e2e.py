@@ -239,6 +239,41 @@ def test_shared_cache_preserve_and_extend(hf_model, engine):
     np.testing.assert_array_equal(np.asarray(out1), ref_new)
 
 
+def test_shared_cache_extend_resume(hf_model, engine):
+    """shared_cache_op=EXTEND keeps the prompt levels pushed during generate,
+    enabling the starting_logits resume flow (reference README.md:189-244,
+    llama.py:869-872,1287-1295)."""
+    rng = np.random.RandomState(14)
+    prompt = rng.randint(1, VOCAB, size=(1, 5)).astype(np.int32)
+    engine.setup_caches(
+        max_unique_batch_size=2,
+        max_unique_seq_length=32,
+        max_shared_batch_sizes=[1],
+        max_shared_seq_lengths=[8],
+    )
+    engine.empty_shared_cache()
+    # First call: nrs>1 makes the prompt a shared level; EXTEND keeps it.
+    out1, logits1 = engine.generate(
+        input_ids=[prompt], num_return_sequences=2, max_new_tokens=4,
+        temperature=0.0, return_logits=True,
+        shared_cache_op=SharedCacheOp.EXTEND,
+    )
+    assert engine.get_num_used_shared_caches() == 1
+    # Later batches resume from the stored prefill logits, never
+    # re-processing the prompt (reference README.md:203-238).
+    out2 = engine.generate(
+        starting_logits=np.asarray(logits1[0][0:1]),
+        num_return_sequences=2, max_new_tokens=4, temperature=0.0,
+        shared_cache_op=SharedCacheOp.PRESERVE,
+    )
+    assert engine.get_num_used_shared_caches() == 1
+    ref_new, _ = hf_reference_generate(hf_model, prompt, 4)
+    for out in (out1, out2):  # greedy: every row follows the HF path
+        for row in np.asarray(out):
+            np.testing.assert_array_equal(row[None], ref_new)
+    engine.empty_shared_cache()
+
+
 def test_starting_logits_resume(hf_model, engine):
     """generate(starting_logits=...) resumes without re-prefill
     (llama.py:1287-1295)."""

@@ -54,14 +54,14 @@ def run_generate(engine):
     return np.asarray(toks), [np.asarray(l) for l in logits]
 
 
-@pytest.mark.parametrize("tp,dp", [(2, 1), (4, 2), (1, 4)])
-def test_sharded_matches_unsharded(params, tp, dp):
-    if jax.device_count() < tp * dp:
+@pytest.mark.parametrize("tp,dp,sp", [(2, 1, 1), (4, 2, 1), (1, 4, 1), (2, 2, 2)])
+def test_sharded_matches_unsharded(params, tp, dp, sp):
+    if jax.device_count() < tp * dp * sp:
         pytest.skip("not enough devices")
     base = HydragenLlama(CFG, params)
     t0, l0 = run_generate(base)
 
-    mesh = make_mesh(tp=tp, dp=dp)
+    mesh = make_mesh(tp=tp, dp=dp, sp=sp)
     sharded = HydragenLlama(CFG, params, mesh=mesh)
     t1, l1 = run_generate(sharded)
 
