@@ -355,6 +355,7 @@ class HydragenLlama:
             disable_hydragen=self._disable_hydragen,
             disable_attention=self._disable_attention,
             impl=self.impl,
+            sharded=self.mesh is not None,
         )
 
     # -- prefill entry points (llama.py:1073-1145) --------------------------
@@ -364,6 +365,12 @@ class HydragenLlama:
         assert self.cache is not None, "call setup_caches first"
         assert self.num_used_levels < len(self.cache.shared), "no free shared level"
         input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
+        level = self.cache.shared[self.num_used_levels]
+        assert input_ids.shape[0] == level.max_batch_size, (
+            f"level {self.num_used_levels} allocated for {level.max_batch_size} "
+            f"prefixes, got {input_ids.shape[0]} — allocate exact batch sizes "
+            "(query folding maps rows to prefixes by the allocated batch)"
+        )
         has_pad = seq_lens is not None
         if has_pad:
             seq_lens = jnp.asarray(seq_lens, dtype=jnp.int32)
@@ -376,6 +383,7 @@ class HydragenLlama:
             disable_hydragen=False,
             disable_attention=self._disable_attention,
             impl=self.impl,
+            sharded=self.mesh is not None,
         )
         logits, self.cache = _shared_prefill_step(
             self.params, self.cache, input_ids, seq_lens, self.config, spec,

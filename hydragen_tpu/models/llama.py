@@ -161,6 +161,7 @@ class ForwardSpec(NamedTuple):
     disable_hydragen: bool
     disable_attention: bool
     impl: Optional[str] = None
+    sharded: bool = False  # running SPMD over a mesh (disables Pallas paths)
 
 
 def model_forward(
@@ -212,15 +213,42 @@ def model_forward(
         s = scale[:, :rows, :, :fl] if rows is not None else scale[:, :, :, :fl]
         return (p, s)
 
-    level_ks = [kv_view(lv.k, lv.k_scale, fl) for lv, fl in zip(active_levels, spec.level_filled)]
-    level_vs = [kv_view(lv.v, lv.v_scale, fl) for lv, fl in zip(active_levels, spec.level_filled)]
-    level_lens = [lv.seq_lens for lv in active_levels]
+    # Fused cached decode (opt-in, impl="fused"): one Pallas launch per layer
+    # reads the shared level and the unique history straight out of the
+    # stacked cache buffers (layer index via scalar prefetch) and merges them
+    # in-registers. Measured e2e on v5e it still loses to the decomposed XLA
+    # path at bench scale (~5.2k vs 6.8k tok/s int8): the kernel's padded
+    # block reads exceed XLA's fused exact reads and the launch serializes
+    # the scan body. Kept opt-in for large-prefix regimes and future tuning.
+    use_fused_cached = (
+        t == 1
+        and spec.mode == "decode"
+        and spec.num_used_levels == 1
+        and spec.unique_history
+        and not spec.disable_hydragen
+        and not spec.disable_attention
+        and not spec.sharded
+        and cache.unique_k_scale is None
+        and cache.shared[0].k_scale is None
+        and cfg.head_dim % 128 == 0
+        and spec.impl == "fused"
+        and jax.default_backend() == "tpu"
+    )
 
-    if spec.unique_history:
-        uk = kv_view(cache.unique_k, cache.unique_k_scale, spec.unique_filled, rows=b)
-        uv = kv_view(cache.unique_v, cache.unique_v_scale, spec.unique_filled, rows=b)
-    else:
+    if use_fused_cached:
+        level_ks = level_vs = [None]
+        level_lens = [active_levels[0].seq_lens]
         uk = uv = None
+    else:
+        level_ks = [kv_view(lv.k, lv.k_scale, fl) for lv, fl in zip(active_levels, spec.level_filled)]
+        level_vs = [kv_view(lv.v, lv.v_scale, fl) for lv, fl in zip(active_levels, spec.level_filled)]
+        level_lens = [lv.seq_lens for lv in active_levels]
+
+        if spec.unique_history:
+            uk = kv_view(cache.unique_k, cache.unique_k_scale, spec.unique_filled, rows=b)
+            uv = kv_view(cache.unique_v, cache.unique_v_scale, spec.unique_filled, rows=b)
+        else:
+            uk = uv = None
 
     def deq(pair):
         payload, scale = pair
@@ -234,7 +262,7 @@ def model_forward(
     has_bias = "bq" in lp
 
     def layer(h, xs):
-        (wq, wk, wv, wo, gate, up, down, in_n, post_n, biases, lvl_kv, ukv) = xs
+        (li, wq, wk, wv, wo, gate, up, down, in_n, post_n, biases, lvl_kv, ukv) = xs
         resid = h
         x = rms_norm(h, in_n, cfg.rms_norm_eps)
 
@@ -256,23 +284,34 @@ def model_forward(
             attn = q
         else:
             outs, lses = [], []
-            if not spec.disable_hydragen:
-                for (lk, lv_), lens in zip(lvl_kv, level_lens):
-                    sb = lk[0].shape[0]
-                    bq_ = fold_queries_for_shared(q, sb)
-                    o, l = _attention(
-                        bq_, deq(lk), deq(lv_), causal=False, kv_seq_lens=lens,
-                        impl=impl,
-                    )
-                    outs.append(unfold_shared_out(o, b, t))
-                    lses.append(unfold_shared_lse(l, b, t))
-            if ukv is not None:
-                o, l = _attention(
-                    q, deq(ukv[0]), deq(ukv[1]), causal=False,
-                    kv_seq_lens=history_lens, impl=impl,
+            if use_fused_cached:
+                from hydragen_tpu.ops.fused import fused_hydragen_decode_cached
+
+                level = cache.shared[0]
+                o, l = fused_hydragen_decode_cached(
+                    li, q, level.k, level.v, level_lens[0],
+                    cache.unique_k, cache.unique_v, history_lens,
                 )
                 outs.append(o)
                 lses.append(l)
+            else:
+                if not spec.disable_hydragen:
+                    for (lk, lv_), lens in zip(lvl_kv, level_lens):
+                        sb = lk[0].shape[0]
+                        bq_ = fold_queries_for_shared(q, sb)
+                        o, l = _attention(
+                            bq_, deq(lk), deq(lv_), causal=False,
+                            kv_seq_lens=lens, impl=impl,
+                        )
+                        outs.append(unfold_shared_out(o, b, t))
+                        lses.append(unfold_shared_lse(l, b, t))
+                if ukv is not None:
+                    o, l = _attention(
+                        q, deq(ukv[0]), deq(ukv[1]), causal=False,
+                        kv_seq_lens=history_lens, impl=impl,
+                    )
+                    outs.append(o)
+                    lses.append(l)
             # Causal self-attention over the current input's KV.
             if t == 1:
                 # Decode: softmax over a single own-token KV is the identity —
@@ -318,11 +357,12 @@ def model_forward(
         else (jnp.zeros((cfg.num_hidden_layers, 0)),) * 4
     )
     xs = (
+        jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32),
         lp["wq"], lp["wk"], lp["wv"], lp["wo"],
         lp["gate"], lp["up"], lp["down"],
         lp["input_norm"], lp["post_attn_norm"],
         biases,
-        tuple(zip(level_ks, level_vs)),
+        tuple(zip(level_ks, level_vs)) if not use_fused_cached else ((None, None),),
         (uk, uv) if uk is not None else None,
     )
 

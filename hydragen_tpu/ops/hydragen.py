@@ -59,7 +59,7 @@ def _attention(q, k, v, *, causal, kv_seq_lens, impl):
     matvec-softmax chain is faster than a grid of small kernel blocks, so
     small calls go to XLA.
     """
-    if impl == "auto":
+    if impl in ("auto", "fused"):  # "fused" only changes the decode layer path
         M, s = q.shape[2], k.shape[2]
         impl = "pallas" if (M >= 256 and s >= 1024) else "xla"
     if impl == "xla":

@@ -31,6 +31,47 @@ def _fence(out) -> None:
             break
 
 
+def timed_scanned(
+    op: Callable,
+    args: tuple,
+    num_iters: int = 100,
+    perturb_idx: int = 0,
+) -> float:
+    """Seconds per call of ``op(*args)``, measured inside one jitted
+    ``lax.scan`` — the only reliable way to time sub-millisecond ops through
+    a remote-device transport whose per-dispatch round-trip dwarfs them.
+
+    The perturbed input defeats loop-invariant hoisting/CSE; the fixed
+    dispatch cost cancels by differencing a 1x and an (N+1)x run.
+    """
+    import jax.numpy as jnp
+
+    base = args[perturb_idx]
+
+    def many(n):
+        @jax.jit
+        def run(args, epss):
+            def body(carry, eps):
+                a = list(args)
+                a[perturb_idx] = a[perturb_idx] + eps
+                out = op(*a)
+                leaf = jax.tree.leaves(out)[0]
+                return carry + leaf.astype(jnp.float32).ravel()[0], None
+
+            s, _ = jax.lax.scan(body, jnp.float32(0), epss)
+            return s
+
+        epss = jnp.zeros((n,) + (1,) * (base.ndim), base.dtype)
+        _fence(run(args, epss))  # compile + warm
+        t0 = time.perf_counter()
+        _fence(run(args, epss))
+        return time.perf_counter() - t0
+
+    t1 = many(1)
+    tn = many(num_iters + 1)
+    return max((tn - t1) / num_iters, 0.0)
+
+
 def timed(
     fn: Callable,
     num_iters: int = 10,

@@ -19,7 +19,8 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
-from hydragen_tpu.utils import MicrobenchmarkResult, save_yaml_dataclass, split_range, timed
+from hydragen_tpu.utils import MicrobenchmarkResult, save_yaml_dataclass, split_range
+from hydragen_tpu.utils.timing import timed_scanned
 
 
 def make_inputs(key, bs, ns, nu, hq, hkv, d, dtype):
@@ -37,13 +38,11 @@ def go_hydragen(q, sk, sv, uk, uv, nu, bs):
 
     seq_lens = jnp.full((bs,), nu, jnp.int32) if nu else None
 
-    @jax.jit
-    def fn(q, sk, sv, uk, uv):
-        return hydragen_attention(
-            q, uk, uv, [sk], [sv], [None], seq_lens=seq_lens
-        )
-
-    return lambda: fn(q, sk, sv, uk, uv)
+    if uk is None:
+        return (lambda q, sk, sv: hydragen_attention(
+            q, None, None, [sk], [sv], [None])), (q, sk, sv)
+    return (lambda q, sk, sv, uk, uv: hydragen_attention(
+        q, uk, uv, [sk], [sv], [None], seq_lens=seq_lens)), (q, sk, sv, uk, uv)
 
 
 def go_baseline(q, sk, sv, uk, uv, nu, bs):
@@ -52,8 +51,7 @@ def go_baseline(q, sk, sv, uk, uv, nu, bs):
 
     ns = sk.shape[1]
 
-    @jax.jit
-    def fn(q, sk, sv, uk, uv):
+    def fn(q, sk, sv, uk=None, uv=None):
         k = jnp.broadcast_to(sk, (bs, ns) + sk.shape[2:])
         v = jnp.broadcast_to(sv, (bs, ns) + sv.shape[2:])
         if uk is not None:
@@ -62,7 +60,9 @@ def go_baseline(q, sk, sv, uk, uv, nu, bs):
         out, _ = flash_attention(q, k, v, causal=False)
         return out
 
-    return lambda: fn(q, sk, sv, uk, uv)
+    if uk is None:
+        return fn, (q, sk, sv)
+    return fn, (q, sk, sv, uk, uv)
 
 
 def main():
@@ -96,12 +96,12 @@ def main():
                 print(f"skip (exists): {path}")
                 continue
             maker = go_hydragen if mode == "hydragen" else go_baseline
-            fn = maker(q, sk, sv, uk, uv, nu, bs)
-            times, warmup = timed(fn, num_iters=args.iters, num_warmup=3)
+            op, op_args = maker(q, sk, sv, uk, uv, nu, bs)
+            per_call = timed_scanned(op, op_args, num_iters=args.iters)
             res = MicrobenchmarkResult(
                 batch_size=bs, num_shared=ns, num_unique=nu,
                 num_qheads=args.qheads, num_kvheads=args.kvheads,
-                head_dim=args.dim, mode=mode, times=times, warmup_times=warmup,
+                head_dim=args.dim, mode=mode, times=[per_call],
             )
             print(f"{mode} bs={bs} ns={ns} nu={nu}: {res.mean_time*1e6:.0f} us")
             save_yaml_dataclass(res, path)
