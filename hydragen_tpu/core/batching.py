@@ -1,0 +1,268 @@
+"""Continuous batching over a shared-prefix cache (beyond-reference).
+
+The reference explicitly punts on continuous batching
+(/root/reference/README.md:486: "We do not support ... continuous batching");
+its `generate` is one synchronous batch. For serving, requests arrive and
+finish at different times while all sharing the same prefix stack — exactly
+Hydragen's sweet spot: admission only prefills the *suffix*, the prefix KV is
+never touched.
+
+Design (static shapes throughout, one jit specialization per prompt bucket):
+
+- The unique cache's ``B`` rows form a slot pool. Admission prefills one
+  request's suffix into a free row (``row_start``-targeted block write) and
+  seeds its first token from the prefill logits.
+- ``decode_chunk`` advances ALL rows by ``K`` scanned steps; inactive rows
+  compute garbage (static shapes beat dynamic batch reshapes on TPU) but
+  their writes land at their frozen position in a dead row, and eos/budget
+  masking retires rows exactly.
+- The host loop admits from the queue between chunks and collects finished
+  sequences — the classic iteration-level scheduling loop, one jitted
+  program per (bucket, chunk) shape.
+
+Requires every active shared level to have batch size 1 (one shared context
+stack per pool — the standard serving setup this subsystem targets).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydragen_tpu.core.cache import (
+    shared_len_for_batch,
+    update_unique_decode,
+    update_unique_prefill,
+)
+from hydragen_tpu.core.engine import HydragenLlama, sample_from_logits
+from hydragen_tpu.models.llama import logits_from_hidden, model_forward
+
+
+class BatchState(NamedTuple):
+    cur_token: jax.Array   # [B, 1] int32 — next input token per row
+    pos: jax.Array         # [B] int32 — global position of cur_token
+    upos: jax.Array        # [B] int32 — unique-cache position of cur_token
+    remaining: jax.Array   # [B] int32 — tokens left to generate
+    active: jax.Array      # [B] bool
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "spec", "has_pad"),
+    donate_argnames=("cache",),
+)
+def _admit_step(params, cache, input_ids, seq_len, row, cfg, spec, has_pad):
+    """Prefill one request's suffix into unique-cache row ``row``."""
+    b, t = input_ids.shape  # b == 1
+    shared_lens = shared_len_for_batch(cache, spec.num_used_levels, b)
+    if has_pad:
+        local_pos = jnp.minimum(jnp.arange(t)[None, :], seq_len - 1)
+        lens = jnp.full((b,), 0, jnp.int32) + seq_len
+    else:
+        local_pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)).astype(jnp.int32)
+        lens = jnp.full((b,), t, jnp.int32)
+    pos = shared_lens[:, None] + local_pos
+    hidden, nk, nv = model_forward(params, cfg, cache, input_ids, pos, local_pos, spec)
+    cache = update_unique_prefill(cache, nk, nv, start=0, row_start=row)
+    logits = logits_from_hidden(params, cfg, hidden, lens if has_pad else None)
+    return logits[:, -1], cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "spec", "steps", "temperature", "top_p", "eos"),
+    donate_argnames=("cache",),
+)
+def _decode_chunk(
+    params, cache, state, rng, cfg, spec, steps, temperature, top_p, eos
+):
+    """Advance every row by ``steps`` tokens (scanned; inactive rows masked)."""
+
+    def step(carry, _):
+        cache, st, rng = carry
+        hidden, nk, nv = model_forward(
+            params, cfg, cache, st.cur_token, st.pos[:, None],
+            st.upos[:, None], spec, history_lens=st.upos,
+        )
+        cache = update_unique_decode(cache, st.upos, nk, nv, uniform=False)
+        logits = logits_from_hidden(params, cfg, hidden)[:, 0]
+        rng, sub = jax.random.split(rng)
+        nxt = sample_from_logits(logits, sub, temperature, top_p, 1)[:, 0]
+        emitted = jnp.where(st.active, nxt, -1)
+        hit_eos = (nxt == eos) if eos >= 0 else jnp.zeros_like(st.active)
+        new_active = st.active & ~hit_eos & (st.remaining > 1)
+        adv = st.active.astype(jnp.int32)
+        st2 = BatchState(
+            cur_token=jnp.where(st.active[:, None], nxt[:, None], st.cur_token),
+            pos=st.pos + adv,
+            upos=st.upos + adv,
+            remaining=st.remaining - adv,
+            active=new_active,
+        )
+        return (cache, st2, rng), emitted
+
+    (cache, state, rng), toks = jax.lax.scan(
+        step, (cache, state, rng), None, length=steps
+    )
+    return toks.T, state, cache, rng  # [B, steps]
+
+
+@dataclass
+class _Request:
+    rid: int
+    ids: np.ndarray
+    max_new_tokens: int
+    tokens: List[int] = field(default_factory=list)
+    done: bool = False
+
+
+class ContinuousBatcher:
+    """Iteration-level scheduler over a ``HydragenLlama``'s unique-row pool.
+
+    Usage::
+
+        engine.setup_caches(max_unique_batch_size=B, ...)
+        engine.append_shared(prefix_ids)       # the shared context (sb == 1)
+        cb = ContinuousBatcher(engine, chunk=8, bucket=32)
+        ids = [cb.submit(prompt, max_new_tokens=64) for prompt in prompts]
+        results = cb.run()                     # {rid: [token, ...]}
+    """
+
+    def __init__(
+        self,
+        engine: HydragenLlama,
+        chunk: int = 8,
+        bucket: int = 32,
+        temperature: float = 0.0,
+        top_p: Optional[float] = None,
+        eos_token_id: Optional[int] = None,
+        seed: int = 0,
+    ):
+        assert engine.cache is not None, "call setup_caches first"
+        for lv in engine.cache.shared[: engine.num_used_levels]:
+            assert lv.max_batch_size == 1, (
+                "continuous batching requires shared levels with batch size 1"
+            )
+        self.engine = engine
+        self.chunk = chunk
+        self.bucket = bucket
+        self.temperature = temperature
+        self.top_p = top_p
+        self.eos = -1 if eos_token_id is None else int(eos_token_id)
+        self.rng = jax.random.PRNGKey(seed)
+
+        B = engine.cache.max_unique_batch_size
+        self.B = B
+        self.state = BatchState(
+            cur_token=jnp.zeros((B, 1), jnp.int32),
+            pos=jnp.zeros((B,), jnp.int32),
+            upos=jnp.zeros((B,), jnp.int32),
+            remaining=jnp.zeros((B,), jnp.int32),
+            active=jnp.zeros((B,), bool),
+        )
+        self._queue: List[_Request] = []
+        self._rows: Dict[int, Optional[_Request]] = {r: None for r in range(B)}
+        self._done: Dict[int, _Request] = {}
+        self._next_rid = 0
+
+    # -- submission ----------------------------------------------------------
+
+    def submit(self, ids, max_new_tokens: int = 32) -> int:
+        ids = np.asarray(ids, dtype=np.int32).reshape(-1)
+        max_len = self.engine.cache.max_unique_seq_len
+        assert ids.size + max_new_tokens <= max_len, (
+            f"request needs {ids.size + max_new_tokens} unique positions, "
+            f"cache rows hold {max_len}"
+        )
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append(_Request(rid, ids, max_new_tokens))
+        return rid
+
+    # -- internals -----------------------------------------------------------
+
+    def _free_rows(self) -> List[int]:
+        return [r for r, req in self._rows.items() if req is None]
+
+    def _admit(self, row: int, req: _Request) -> None:
+        eng = self.engine
+        t = len(req.ids)
+        tb = -(-t // self.bucket) * self.bucket  # pad to bucket
+        padded = np.zeros((1, tb), dtype=np.int32)
+        padded[0, :t] = req.ids
+        spec = eng._spec("unique_prefill", unique_history=False)
+        has_pad = tb != t
+        logits, eng.cache = _admit_step(
+            eng.params, eng.cache, jnp.asarray(padded),
+            jnp.int32(t), jnp.int32(row), eng.config, spec, has_pad,
+        )
+        self.rng, sub = jax.random.split(self.rng)
+        first = sample_from_logits(logits, sub, self.temperature, self.top_p, 1)
+        first_tok = int(first[0, 0])
+        req.tokens.append(first_tok)
+
+        shared = int(np.asarray(eng.get_shared_cache_len(1))[0])
+        st = self.state
+        eos_hit = self.eos >= 0 and first_tok == self.eos
+        active = (req.max_new_tokens > 1) and not eos_hit
+        self.state = BatchState(
+            cur_token=st.cur_token.at[row, 0].set(first_tok),
+            pos=st.pos.at[row].set(shared + t),
+            upos=st.upos.at[row].set(t),
+            remaining=st.remaining.at[row].set(req.max_new_tokens - 1),
+            active=st.active.at[row].set(active),
+        )
+        self._rows[row] = req
+        if not active:
+            self._retire(row)
+
+    def _retire(self, row: int) -> None:
+        req = self._rows[row]
+        if req is not None:
+            req.done = True
+            self._done[req.rid] = req
+            self._rows[row] = None
+
+    # -- main loop -------------------------------------------------------------
+
+    def step(self) -> bool:
+        """Admit from the queue, run one decode chunk; True if work remains."""
+        for row in self._free_rows():
+            if not self._queue:
+                break
+            self._admit(row, self._queue.pop(0))
+
+        if not bool(np.asarray(self.state.active).any()):
+            return bool(self._queue)
+
+        eng = self.engine
+        spec = eng._spec("decode", unique_history=True)
+        toks, self.state, eng.cache, self.rng = _decode_chunk(
+            eng.params, eng.cache, self.state, self.rng, eng.config, spec,
+            self.chunk, self.temperature, self.top_p, self.eos,
+        )
+        toks = np.asarray(toks)
+        active_after = np.asarray(self.state.active)
+        for row, req in list(self._rows.items()):
+            if req is None:
+                continue
+            for tok in toks[row]:
+                if tok < 0:
+                    break
+                req.tokens.append(int(tok))
+                if self.eos >= 0 and tok == self.eos:
+                    break
+            if not active_after[row]:
+                self._retire(row)
+        return bool(self._queue) or bool(active_after.any())
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain the queue; returns {request_id: generated tokens}."""
+        while self.step():
+            pass
+        return {rid: req.tokens for rid, req in sorted(self._done.items())}

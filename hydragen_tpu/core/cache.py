@@ -192,17 +192,22 @@ def fill_shared_level(
 
 
 def update_unique_prefill(
-    cache: KVCache, k: jax.Array, v: jax.Array, start: jax.Array | int = 0
+    cache: KVCache,
+    k: jax.Array,
+    v: jax.Array,
+    start: jax.Array | int = 0,
+    row_start: jax.Array | int = 0,
 ) -> KVCache:
     """Write prefill KVs at unique positions ``[start, start+t)`` for rows
-    ``[0, b)``.
+    ``[row_start, row_start+b)``.
 
     k, v: ``[L, b, hkv, t, hd]``. ``start`` is 0 for normal unique prefill
     (fresh cache => contiguous block update, far cheaper than the reference's
     general scatter, llama.py:236-262); the disable_hydragen baseline passes
-    the copied shared length.
+    the copied shared length. ``row_start`` targets a row slot for
+    continuous-batching admission.
     """
-    idx = (0, 0, 0, start, 0)
+    idx = (0, row_start, 0, start, 0)
     kq, ks = _maybe_quantize(k, cache.quantized)
     vq, vs = _maybe_quantize(v, cache.quantized)
     return cache._replace(

@@ -213,10 +213,11 @@ class HydragenLlama:
         quantization: Optional[str] = None,
     ):
         if quantization is not None:
-            from hydragen_tpu.ops.quant import quantize_params
+            from hydragen_tpu.ops.quant import QuantizedTensor, quantize_params
 
             assert quantization == "int8", f"unknown quantization {quantization!r}"
-            params = quantize_params(params)
+            if not isinstance(params["layers"]["wq"], QuantizedTensor):
+                params = quantize_params(params)
         self.config = config
         self.params = params
         self.impl = impl
@@ -249,7 +250,11 @@ class HydragenLlama:
     def from_pretrained(cls, model_name_or_path: str, dtype: str = "bfloat16", **kw):
         from hydragen_tpu.models import hf
 
-        cfg, params = hf.from_pretrained(model_name_or_path, dtype=dtype)
+        # Quantization happens host-side during conversion so bf16 originals
+        # never occupy device HBM alongside the int8 copies.
+        cfg, params = hf.from_pretrained(
+            model_name_or_path, dtype=dtype, quantization=kw.get("quantization")
+        )
         return cls(cfg, params, **kw)
 
     @classmethod

@@ -30,17 +30,44 @@ def _to_np(t):
     return np.asarray(t)
 
 
-def params_from_hf_state_dict(state_dict, cfg: ModelConfig):
-    """Convert a HF Llama state dict to the stacked param pytree."""
+def _np_quantize(arr: np.ndarray):
+    """Host-side symmetric int8 quantization over the in-features axis (-2).
+
+    Quantizing on the host before device transfer keeps peak device HBM at
+    the int8 size — a 7B checkpoint cannot hold bf16 originals plus int8
+    copies on one 16 GB chip.
+    """
+    from hydragen_tpu.ops.quant import QuantizedTensor
+
+    arr = arr.astype(np.float32)
+    amax = np.abs(arr).max(axis=-2, keepdims=True)
+    scale = np.maximum(amax, 1e-8) / 127.0
+    q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
+    return QuantizedTensor(
+        q=jnp.asarray(q),
+        scale=jnp.asarray(np.squeeze(scale, -2), dtype=jnp.float32),
+    )
+
+
+def params_from_hf_state_dict(state_dict, cfg: ModelConfig, quantization=None):
+    """Convert a HF Llama state dict to the stacked param pytree.
+
+    quantization="int8" quantizes the projection matrices (and lm_head) on
+    the host during conversion.
+    """
+    assert quantization in (None, "int8")
     dt = cfg.jax_dtype
     L = cfg.num_hidden_layers
+    quant = quantization == "int8"
 
     def get(name):
         return _to_np(state_dict[name])
 
-    def stack(fmt, transpose=False):
+    def stack(fmt, transpose=False, quantize=False):
         mats = [get(fmt.format(i)) for i in range(L)]
         arr = np.stack([m.T if transpose else m for m in mats])
+        if quantize and quant:
+            return _np_quantize(arr)
         return jnp.asarray(arr, dtype=dt)
 
     params = {
@@ -49,13 +76,13 @@ def params_from_hf_state_dict(state_dict, cfg: ModelConfig):
         "layers": {
             "input_norm": stack("model.layers.{}.input_layernorm.weight"),
             "post_attn_norm": stack("model.layers.{}.post_attention_layernorm.weight"),
-            "wq": stack("model.layers.{}.self_attn.q_proj.weight", transpose=True),
-            "wk": stack("model.layers.{}.self_attn.k_proj.weight", transpose=True),
-            "wv": stack("model.layers.{}.self_attn.v_proj.weight", transpose=True),
-            "wo": stack("model.layers.{}.self_attn.o_proj.weight", transpose=True),
-            "gate": stack("model.layers.{}.mlp.gate_proj.weight", transpose=True),
-            "up": stack("model.layers.{}.mlp.up_proj.weight", transpose=True),
-            "down": stack("model.layers.{}.mlp.down_proj.weight", transpose=True),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight", transpose=True, quantize=True),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight", transpose=True, quantize=True),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight", transpose=True, quantize=True),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight", transpose=True, quantize=True),
+            "gate": stack("model.layers.{}.mlp.gate_proj.weight", transpose=True, quantize=True),
+            "up": stack("model.layers.{}.mlp.up_proj.weight", transpose=True, quantize=True),
+            "down": stack("model.layers.{}.mlp.down_proj.weight", transpose=True, quantize=True),
         },
     }
     if cfg.attention_bias:
@@ -65,21 +92,25 @@ def params_from_hf_state_dict(state_dict, cfg: ModelConfig):
         params["layers"]["bo"] = stack("model.layers.{}.self_attn.o_proj.bias")
 
     if "lm_head.weight" in state_dict:
-        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=dt)
+        head = get("lm_head.weight").T
+        params["lm_head"] = _np_quantize(head) if quant else jnp.asarray(head, dtype=dt)
     else:
         assert cfg.tie_word_embeddings
         params["lm_head"] = params["embed_tokens"].T
     return params
 
 
-def from_hf_model(hf_model, dtype: str = "bfloat16"):
+def from_hf_model(hf_model, dtype: str = "bfloat16", quantization=None):
     """(config, params) from an in-memory transformers LlamaForCausalLM."""
     cfg = ModelConfig.from_hf_config(hf_model.config, dtype=dtype)
-    params = params_from_hf_state_dict(hf_model.state_dict(), cfg)
+    params = params_from_hf_state_dict(
+        hf_model.state_dict(), cfg, quantization=quantization
+    )
     return cfg, params
 
 
-def from_pretrained(model_name_or_path: str, dtype: str = "bfloat16"):
+def from_pretrained(model_name_or_path: str, dtype: str = "bfloat16",
+                    quantization=None):
     """Load a HF checkpoint from disk/hub and convert.
 
     Mirrors ``HydragenLlamaForCausalLM.from_pretrained`` (llama.py:1398-1422).
@@ -87,4 +118,4 @@ def from_pretrained(model_name_or_path: str, dtype: str = "bfloat16"):
     from transformers import AutoModelForCausalLM
 
     hf_model = AutoModelForCausalLM.from_pretrained(model_name_or_path)
-    return from_hf_model(hf_model, dtype=dtype)
+    return from_hf_model(hf_model, dtype=dtype, quantization=quantization)

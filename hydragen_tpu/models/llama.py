@@ -44,8 +44,14 @@ from hydragen_tpu.ops.quant import qmatmul
 # Parameter initialization / structure
 # ---------------------------------------------------------------------------
 
-def init_params(cfg: ModelConfig, key: jax.Array):
-    """Random-init params (for tests and benchmarks without checkpoints)."""
+def init_params(cfg: ModelConfig, key: jax.Array, quantized: bool = False):
+    """Random-init params (for tests and benchmarks without checkpoints).
+
+    ``quantized=True`` creates INT8 weights *directly* (random int8 payload +
+    magnitude-matched scales) — a 7B model cannot hold bf16 originals and
+    int8 copies simultaneously on a 16 GB chip, and benchmark timing does
+    not depend on weight values.
+    """
     H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     L = cfg.num_hidden_layers
     Hq = cfg.num_attention_heads * cfg.head_dim
@@ -55,10 +61,29 @@ def init_params(cfg: ModelConfig, key: jax.Array):
     keys = jax.random.split(key, 12)
 
     def dense(k, shape, fan_in):
-        return (jax.random.normal(k, shape, dtype=jnp.float32) / math.sqrt(fan_in)).astype(dt)
+        # Sample directly in the target dtype: a 7B model's fp32 transients
+        # would exceed a single v5e's 16 GB HBM.
+        if quantized:
+            from hydragen_tpu.ops.quant import QuantizedTensor
+
+            q = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
+            scale = jnp.full(
+                shape[:-2] + shape[-1:],
+                1.0 / (74.0 * math.sqrt(fan_in)),  # ~unit-normal channel amax
+                dtype=jnp.float32,
+            )
+            return QuantizedTensor(q=q, scale=scale)
+        return jax.random.normal(k, shape, dtype=dt) / jnp.asarray(
+            math.sqrt(fan_in), dtype=dt
+        )
+
+    def dense_fp(k, shape, fan_in):
+        return jax.random.normal(k, shape, dtype=dt) / jnp.asarray(
+            math.sqrt(fan_in), dtype=dt
+        )
 
     params = {
-        "embed_tokens": dense(keys[0], (V, H), H),
+        "embed_tokens": dense_fp(keys[0], (V, H), H),  # gather: stays fp
         "final_norm": jnp.ones((H,), dtype=dt),
         "lm_head": dense(keys[1], (H, V), H),
         "layers": {

@@ -104,13 +104,16 @@ def quantize_params(params: dict, quantize_lm_head: bool = True) -> dict:
 
     Embeddings stay high-precision (gather, not matmul); norms and biases are
     tiny. Per-layer matrices are stacked ``[L, in, out]`` — quantized with
-    per-(layer, out-channel) scales.
+    per-(layer, out-channel) scales. Each tensor is quantized under jit so
+    the fp32 intermediates fuse away instead of materializing in HBM — a 7B
+    model must quantize within a 16 GB chip's headroom.
     """
+    quantize_jit = jax.jit(quantize, static_argnames=("axis",))
     out = dict(params)
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
-        layers[k] = quantize(layers[k], axis=-2)
+        layers[k] = quantize_jit(layers[k], axis=-2)
     out["layers"] = layers
     if quantize_lm_head:
-        out["lm_head"] = quantize(params["lm_head"], axis=-2)
+        out["lm_head"] = quantize_jit(params["lm_head"], axis=-2)
     return out

@@ -48,6 +48,8 @@ def main():
     p.add_argument("--num-questions", default="2:64:x2")
     p.add_argument("--max-new-tokens", type=int, default=12)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--quantization", default=None, choices=[None, "int8"])
+    p.add_argument("--kv-quant", default=None, choices=[None, "int8"])
     p.add_argument("--corpus", default=None, help="filler text file")
     p.add_argument("--tp", type=int, default=1)
     args = p.parse_args()
@@ -68,11 +70,18 @@ def main():
         from transformers import AutoTokenizer
 
         tok = AutoTokenizer.from_pretrained(args.pretrained)
-        engine = HydragenLlama.from_pretrained(args.pretrained, dtype=args.dtype)
+        engine = HydragenLlama.from_pretrained(
+            args.pretrained, dtype=args.dtype, quantization=args.quantization
+        )
         doc_ids = np.asarray([tok.encode(doc)], dtype=np.int32)
     else:
         cfg = PRESETS[args.preset]
-        engine = HydragenLlama(cfg, init_params(cfg, jax.random.PRNGKey(0)))
+        engine = HydragenLlama(
+            cfg,
+            init_params(cfg, jax.random.PRNGKey(0),
+                        quantized=args.quantization == "int8"),
+            quantization=args.quantization,
+        )
         # ~4 chars/token synthetic tokenization for speed-only runs.
         rng = np.random.RandomState(0)
         doc_ids = rng.randint(
@@ -112,6 +121,7 @@ def main():
         max_unique_seq_length=q_arr_max.shape[1] + args.max_new_tokens + 8,
         max_shared_batch_sizes=[1],
         max_shared_seq_lengths=[doc_ids.shape[1] + 8],
+        kv_quant=args.kv_quant,
     )
 
     # Shared prefill ONCE (needles.py:151).
@@ -126,14 +136,19 @@ def main():
             print(f"skip (exists): {path}")
             continue
         arr, lens = question_ids(n)
+
+        def gen():
+            return engine.generate(
+                input_ids=[arr],
+                seq_lens=[lens],
+                max_new_tokens=args.max_new_tokens,
+                temperature=0.0,
+                shared_cache_op=SharedCacheOp.PRESERVE,
+            )
+
+        _fence(gen())  # compile + warm (XLA's CUDA-graph-capture analogue)
         t0 = time.perf_counter()
-        out = engine.generate(
-            input_ids=[arr],
-            seq_lens=[lens],
-            max_new_tokens=args.max_new_tokens,
-            temperature=0.0,
-            shared_cache_op=SharedCacheOp.PRESERVE,
-        )
+        out = gen()
         out = np.asarray(out)
         decode_time = time.perf_counter() - t0
 

@@ -100,7 +100,9 @@ def main():
 
             cfg = dataclasses.replace(cfg, dtype=args.dtype)
         engine = HydragenLlama(
-            cfg, init_params(cfg, __import__("jax").random.PRNGKey(0)),
+            cfg,
+            init_params(cfg, __import__("jax").random.PRNGKey(0),
+                        quantized=args.quantization == "int8"),
             quantization=args.quantization,
         )
         model_name = args.preset

@@ -1,0 +1,89 @@
+"""Continuous batching: admission/retirement correctness vs one-shot generate."""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax
+
+from hydragen_tpu.core.batching import ContinuousBatcher
+from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
+from hydragen_tpu.models.config import ModelConfig
+from hydragen_tpu.models.llama import init_params
+
+CFG = ModelConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+    shared = rng.randint(1, 128, (1, 8)).astype(np.int32)
+    prompts = [rng.randint(1, 128, (n,)).astype(np.int32) for n in (3, 5, 2, 4, 6, 3)]
+    return params, shared, prompts
+
+
+def reference_tokens(params, shared, prompt, max_new):
+    """One-shot engine.generate for a single request (the oracle)."""
+    eng = HydragenLlama(CFG, params)
+    eng.setup_caches(1, 32, [1], [16])
+    eng.append_shared(shared)
+    out = eng.generate(
+        input_ids=[prompt[None]], max_new_tokens=max_new, temperature=0.0,
+        shared_cache_op=SharedCacheOp.PRESERVE,
+    )
+    return np.asarray(out)[0].tolist()
+
+
+def test_continuous_batching_matches_generate(setup):
+    params, shared, prompts = setup
+    max_new = 7
+
+    # Pool of 2 rows, 6 requests: forces queueing, admission into freed rows,
+    # and mixed-progress decoding.
+    eng = HydragenLlama(CFG, params)
+    eng.setup_caches(2, 32, [1], [16])
+    eng.append_shared(shared)
+    cb = ContinuousBatcher(eng, chunk=3, bucket=4, temperature=0.0)
+    rids = [cb.submit(p, max_new_tokens=max_new) for p in prompts]
+    results = cb.run()
+
+    assert set(results) == set(rids)
+    for rid, prompt in zip(rids, prompts):
+        want = reference_tokens(params, shared, prompt, max_new)
+        assert results[rid] == want, f"rid {rid}: {results[rid]} != {want}"
+
+
+def test_continuous_batching_eos(setup):
+    params, shared, prompts = setup
+    # Find the greedy continuation and use its 3rd token as eos.
+    full = reference_tokens(params, shared, prompts[0], 8)
+    eos = full[2]
+
+    eng = HydragenLlama(CFG, params)
+    eng.setup_caches(2, 32, [1], [16])
+    eng.append_shared(shared)
+    cb = ContinuousBatcher(eng, chunk=4, bucket=4, temperature=0.0, eos_token_id=eos)
+    rid = cb.submit(prompts[0], max_new_tokens=8)
+    results = cb.run()
+    # Generation stops at (and includes) the eos token.
+    assert results[rid] == full[:3]
+
+
+def test_continuous_batching_varied_budgets(setup):
+    params, shared, prompts = setup
+    eng = HydragenLlama(CFG, params)
+    eng.setup_caches(3, 32, [1], [16])
+    eng.append_shared(shared)
+    cb = ContinuousBatcher(eng, chunk=2, bucket=4, temperature=0.0)
+    budgets = [1, 4, 9]
+    rids = [cb.submit(p, max_new_tokens=n) for p, n in zip(prompts, budgets)]
+    results = cb.run()
+    for rid, prompt, n in zip(rids, prompts, budgets):
+        want = reference_tokens(params, shared, prompt, n)
+        assert results[rid] == want
