@@ -32,9 +32,12 @@ class ModelConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     max_position_embeddings: int = 4096
-    # RoPE scaling: None, or ("linear"|"dynamic", factor) — mirrors the
-    # reference's vanilla / linear / dynamic-NTK variants (llama.py:716-741).
-    rope_scaling: Optional[Tuple[str, float]] = None
+    # RoPE scaling: None, ("linear"|"dynamic", factor) — the reference's
+    # vanilla / linear / dynamic-NTK variants (llama.py:716-741) — or
+    # ("llama3", factor, low_freq_factor, high_freq_factor,
+    #  original_max_position_embeddings) for Llama-3.1-style frequency
+    # smoothing (beyond the reference, which predates it).
+    rope_scaling: Optional[Tuple] = None
     attention_bias: bool = False
     tie_word_embeddings: bool = False
     dtype: str = "bfloat16"
@@ -53,7 +56,18 @@ class ModelConfig:
         scaling = getattr(hf_config, "rope_scaling", None)
         if scaling is not None:
             stype = scaling.get("type", scaling.get("rope_type"))
-            scaling = (stype, float(scaling["factor"]))
+            if stype == "llama3":
+                scaling = (
+                    stype,
+                    float(scaling["factor"]),
+                    float(scaling.get("low_freq_factor", 1.0)),
+                    float(scaling.get("high_freq_factor", 4.0)),
+                    int(scaling.get("original_max_position_embeddings", 8192)),
+                )
+            elif stype in ("default", None):
+                scaling = None
+            else:
+                scaling = (stype, float(scaling["factor"]))
         return cls(
             vocab_size=hf_config.vocab_size,
             hidden_size=hf_config.hidden_size,

@@ -129,9 +129,28 @@ def rope_cos_sin(cfg: ModelConfig, position_ids: jax.Array):
     pos = position_ids.astype(jnp.float32)
 
     if cfg.rope_scaling is not None:
-        stype, factor = cfg.rope_scaling
+        stype, factor = cfg.rope_scaling[0], cfg.rope_scaling[1]
         if stype == "linear":
             pos = pos / factor
+        elif stype == "llama3":
+            # Llama-3.1 frequency smoothing: low-frequency (long-wavelength)
+            # components are slowed by `factor`, high-frequency kept, with a
+            # linear blend between the two wavelength thresholds.
+            _, _, low_f, high_f, orig_max = cfg.rope_scaling
+            inv_freq = 1.0 / (base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+            wavelen = 2.0 * math.pi / inv_freq
+            smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+            smooth = jnp.clip(smooth, 0.0, 1.0)
+            scaled = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+            inv_freq = jnp.where(wavelen > orig_max / low_f, inv_freq / factor,
+                                 jnp.where(wavelen < orig_max / high_f, inv_freq, scaled))
+            ang = pos[..., None] * inv_freq[None, None, :]
+            cos = jnp.cos(ang)
+            sin = jnp.sin(ang)
+            return (
+                jnp.concatenate([cos, cos], axis=-1),
+                jnp.concatenate([sin, sin], axis=-1),
+            )
         elif stype == "dynamic":
             # Dynamic NTK: grow the base when the current max position
             # exceeds the trained context window.
