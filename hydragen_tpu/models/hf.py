@@ -44,7 +44,7 @@ def _np_quantize(arr: np.ndarray):
     scale = np.maximum(amax, 1e-8) / 127.0
     q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
     return QuantizedTensor(
-        q=jnp.asarray(q),
+        q=jnp.asarray(np.swapaxes(q, -1, -2)),  # stored [out, in]
         scale=jnp.asarray(np.squeeze(scale, -2), dtype=jnp.float32),
     )
 

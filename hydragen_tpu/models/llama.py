@@ -66,7 +66,9 @@ def init_params(cfg: ModelConfig, key: jax.Array, quantized: bool = False):
         if quantized:
             from hydragen_tpu.ops.quant import QuantizedTensor
 
-            q = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
+            # Payload stored [out, in] (see QuantizedTensor).
+            tshape = shape[:-2] + (shape[-1], shape[-2])
+            q = jax.random.randint(k, tshape, -127, 128, dtype=jnp.int8)
             scale = jnp.full(
                 shape[:-2] + shape[-1:],
                 1.0 / (74.0 * math.sqrt(fan_in)),  # ~unit-normal channel amax

