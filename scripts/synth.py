@@ -26,7 +26,7 @@ from hydragen_tpu.utils import (
     timed,
 )
 
-MODES = ("hydragen", "hydragen_noshared", "noattention")
+MODES = ("hydragen", "hydragen_noshared", "noattention", "hydragen_nohierarchy")
 
 
 def result_path(outdir: Path, mode: str, bs: int, ns: int, nu: int) -> Path:
@@ -34,28 +34,45 @@ def result_path(outdir: Path, mode: str, bs: int, ns: int, nu: int) -> Path:
 
 
 def bench_point(engine, mode: str, bs: int, ns: int, nu: int, iters: int,
-                vocab: int, measure_prefill: bool):
+                vocab: int, measure_prefill: bool, levels: int = 1,
+                level2_bs: int = 0):
     from hydragen_tpu.core.engine import SharedCacheOp
 
     rng = np.random.RandomState(0)
     prompt = rng.randint(1, vocab, size=(1, ns)).astype(np.int32)
     unique_len = nu + 8 + (ns if mode == "hydragen_noshared" else 0)
+    if mode == "hydragen_nohierarchy":
+        assert levels == 2, "nohierarchy ablation needs --levels 2"
+        unique_len += max(16, ns // 8)  # the flattened level-1 prompt
+    if levels == 2:
+        # Two-level hierarchy (paper §4.4, AlphaCode-style): level 0 = one
+        # shared prompt, level 1 = level2_bs distinct sub-prompts, bs/level2_bs
+        # completions each.
+        l2 = level2_bs or max(1, int(bs ** 0.5))
+        assert bs % l2 == 0
+        prompt2 = rng.randint(1, vocab, size=(l2, max(16, ns // 8))).astype(np.int32)
+        inputs = [prompt, prompt2]
+        shared_bs, shared_len = [1, l2], [ns, prompt2.shape[1]]
+    else:
+        inputs = [prompt]
+        shared_bs, shared_len = [1], [ns]
     engine.setup_caches(
         max_unique_batch_size=bs,
         max_unique_seq_length=unique_len,
-        max_shared_batch_sizes=[1],
-        max_shared_seq_lengths=[ns],
+        max_shared_batch_sizes=shared_bs,
+        max_shared_seq_lengths=shared_len,
     )
 
     def gen(max_new=nu):
         return engine.generate(
-            input_ids=[prompt],
-            num_return_sequences=bs,
+            input_ids=inputs,
+            num_return_sequences=bs // (inputs[-1].shape[0]),
             max_new_tokens=max_new,
             temperature=0.0,
             shared_cache_op=SharedCacheOp.WIPE,
             disable_hydragen=(mode == "hydragen_noshared"),
             disable_attention=(mode == "noattention"),
+            disable_hierarchy=(mode == "hydragen_nohierarchy"),
         )
 
     times, warmup = timed(gen, num_iters=iters, num_warmup=2)
@@ -72,6 +89,10 @@ def main():
     p.add_argument("--num-shared", default="1024", help="shared prefix length range")
     p.add_argument("--num-unique", default="64", help="new tokens per sequence range")
     p.add_argument("--mode", default="hydragen", choices=MODES + ("all",))
+    p.add_argument("--levels", type=int, default=1, choices=(1, 2),
+                   help="2 = two-level hierarchy (paper §4.4)")
+    p.add_argument("--level2-bs", type=int, default=0,
+                   help="level-1 prefix count (default sqrt(bs))")
     p.add_argument("--preset", default="sheared-llama-1.3b")
     p.add_argument("--pretrained", default=None)
     p.add_argument("--dtype", default="bfloat16")
@@ -111,7 +132,16 @@ def main():
 
         engine.shard(make_mesh(tp=args.tp, dp=args.dp))
 
-    modes = MODES if args.mode == "all" else (args.mode,)
+    if args.mode == "all":
+        # disable_hydragen (noshared) only supports the flat 2-level layout;
+        # hierarchical sweeps compare hydragen vs the nohierarchy ablation
+        # (reference docs/sweeps_from_paper.md hierarchical runs).
+        if args.levels == 2:
+            modes = ("hydragen", "noattention", "hydragen_nohierarchy")
+        else:
+            modes = MODES[:3]
+    else:
+        modes = (args.mode,)
     args.outdir.mkdir(parents=True, exist_ok=True)
     grid = list(itertools.product(
         split_range(args.bs), split_range(args.num_shared), split_range(args.num_unique)
@@ -126,6 +156,7 @@ def main():
             times, warmup, prefill = bench_point(
                 engine, mode, bs, ns, nu, args.iters,
                 engine.config.vocab_size, args.measure_prefill,
+                levels=args.levels, level2_bs=args.level2_bs,
             )
             res = SynthBenchmarkResult(
                 mode=mode, batch_size=bs, num_shared=ns, num_unique=nu,
