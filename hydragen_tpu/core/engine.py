@@ -86,6 +86,13 @@ def sample_from_logits(
     return samples.T.astype(jnp.int32)
 
 
+# Outside the decode scan, sampling runs once per generate call — jitted so
+# the top-p sort/cumsum chain is one dispatch, not an eager op-by-op cascade.
+_sample_first = jax.jit(
+    sample_from_logits, static_argnames=("temperature", "top_p", "num_samples")
+)
+
+
 # ---------------------------------------------------------------------------
 # Jitted steps
 # ---------------------------------------------------------------------------
@@ -506,7 +513,7 @@ class HydragenLlama:
         rng = jax.random.PRNGKey(seed)
         rng, sub = jax.random.split(rng)
         prefill_logits = starting_logits[:, -1]
-        raw_first = sample_from_logits(
+        raw_first = _sample_first(
             prefill_logits, sub, temperature, top_p, num_return_sequences
         )
         first_token = raw_first.reshape(-1, 1)  # [total_batch, 1]
