@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 from hydragen_tpu.models.config import ModelConfig
 

@@ -21,9 +21,8 @@ TPU-native re-design of the reference model layer
 
 from __future__ import annotations
 
-import dataclasses
 import math
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -181,13 +180,19 @@ def rope_cos_sin(cfg: ModelConfig, position_ids: jax.Array):
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: [b, h, t, d] (BHSD); cos/sin: [b, t, d]. HF rotate_half convention."""
+    """x: [b, h, t, d] (BHSD); cos/sin: [b, t, d]. HF rotate_half convention.
+
+    Accumulates in f32 regardless of table dtype (HF applies the same
+    upcast-then-cast-back discipline)."""
     d = x.shape[-1]
     x1, x2 = x[..., : d // 2], x[..., d // 2 :]
     rot = jnp.concatenate([-x2, x1], axis=-1)
     xf = x.astype(jnp.float32)
     rotf = rot.astype(jnp.float32)
-    out = xf * cos[:, None, :, :] + rotf * sin[:, None, :, :]
+    out = (
+        xf * cos[:, None, :, :].astype(jnp.float32)
+        + rotf * sin[:, None, :, :].astype(jnp.float32)
+    )
     return out.astype(x.dtype)
 
 
@@ -243,8 +248,11 @@ def model_forward(
 
     h = params["embed_tokens"][input_ids].astype(cfg.jax_dtype)
     cos, sin = rope_cos_sin(cfg, position_ids)
-    cos = cos.astype(jnp.float32)
-    sin = sin.astype(jnp.float32)
+    # Tables in the model dtype: they are loop-invariant across the layer
+    # scan, and f32 tables cost 2x the copy bandwidth per layer at long
+    # prefill. apply_rope still accumulates in f32 (HF casts the same way).
+    cos = cos.astype(cfg.jax_dtype)
+    sin = sin.astype(cfg.jax_dtype)
 
     active_levels = cache.shared[: spec.num_used_levels]
     # Static slice of each level to its filled length (the reference's

@@ -30,7 +30,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
+
 
 from hydragen_tpu.ops.combine import combine_lse
 from hydragen_tpu.ops.reference import attention_bhsd

@@ -17,7 +17,7 @@ import collections
 import contextlib
 import glob
 import os
-from typing import Dict, List, NamedTuple, Optional
+from typing import Dict, List, NamedTuple
 
 import jax
 

@@ -70,6 +70,35 @@ def test_sharded_matches_unsharded(params, tp, dp, sp):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
 
 
+def test_tp_exceeding_kv_heads_replicates(params):
+    """tp=8 > num_kv_heads=4: kv projections/caches replicate, q stays
+    sharded — a case the reference cannot express (tp.py:43-46)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    base = HydragenLlama(CFG, params)
+    t0, l0 = run_generate(base)
+    sharded = HydragenLlama(CFG, params, mesh=make_mesh(tp=8))
+    t1, l1 = run_generate(sharded)
+    np.testing.assert_array_equal(t0, t1)
+    for a, b in zip(l0, l1):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_quantized_generate(params):
+    """INT8 weights + (dp, tp) mesh end to end."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    base = HydragenLlama(CFG, params, quantization="int8")
+    t0, l0 = run_generate(base)
+    sharded = HydragenLlama(
+        CFG, params, quantization="int8", mesh=make_mesh(tp=2, dp=2)
+    )
+    t1, l1 = run_generate(sharded)
+    np.testing.assert_array_equal(t0, t1)
+    for a, b in zip(l0, l1):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
 def test_param_sharding_layout():
     """Column/row-shard orientation matches the reference's apply_tp."""
     mesh = make_mesh(tp=4, dp=2)
