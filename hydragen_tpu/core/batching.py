@@ -53,11 +53,16 @@ class BatchState(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "spec", "has_pad"),
-    donate_argnames=("cache",),
+    static_argnames=("cfg", "spec", "has_pad", "temperature", "top_p"),
+    donate_argnames=("cache", "state"),
 )
-def _admit_step(params, cache, input_ids, seq_len, row, cfg, spec, has_pad):
-    """Prefill one request's suffix into unique-cache row ``row``."""
+def _admit_step(
+    params, cache, state, input_ids, seq_len, row, max_new, rng,
+    cfg, spec, has_pad, temperature, top_p,
+):
+    """Prefill one request's suffix into unique-cache row ``row``, sample its
+    first token and write the row's decode state — a single dispatch per
+    admission (host round-trips per admission would dominate the scheduler)."""
     b, t = input_ids.shape  # b == 1
     shared_lens = shared_len_for_batch(cache, spec.num_used_levels, b)
     if has_pad:
@@ -70,7 +75,16 @@ def _admit_step(params, cache, input_ids, seq_len, row, cfg, spec, has_pad):
     hidden, nk, nv = model_forward(params, cfg, cache, input_ids, pos, local_pos, spec)
     cache = update_unique_prefill(cache, nk, nv, start=0, row_start=row)
     logits = logits_from_hidden(params, cfg, hidden, lens if has_pad else None)
-    return logits[:, -1], cache
+    first = sample_from_logits(logits[:, -1], rng, temperature, top_p, 1)
+
+    state = BatchState(
+        cur_token=state.cur_token.at[row].set(first[0]),
+        pos=state.pos.at[row].set(shared_lens[0] + lens[0]),
+        upos=state.upos.at[row].set(lens[0]),
+        remaining=state.remaining.at[row].set(max_new - 1),
+        active=state.active.at[row].set(max_new > 1),
+    )
+    return state, cache
 
 
 @partial(
@@ -169,6 +183,14 @@ class ContinuousBatcher:
         self._rows: Dict[int, Optional[_Request]] = {r: None for r in range(B)}
         self._done: Dict[int, _Request] = {}
         self._next_rid = 0
+        # The shared-prefix length is fixed for this pool's lifetime; reading
+        # it once avoids a device round-trip per admission (construct the
+        # batcher after the prefix stack is final).
+        self._shared_len = int(np.asarray(engine.get_shared_cache_len(1))[0])
+        # Rows admitted since the last chunk: their first (prefill-sampled)
+        # token lives in state.cur_token and is read back together with the
+        # chunk's tokens — admission itself never syncs with the host.
+        self._fresh_rows: List[int] = []
 
     # -- submission ----------------------------------------------------------
 
@@ -197,29 +219,18 @@ class ContinuousBatcher:
         padded[0, :t] = req.ids
         spec = eng._spec("unique_prefill", unique_history=False)
         has_pad = tb != t
-        logits, eng.cache = _admit_step(
-            eng.params, eng.cache, jnp.asarray(padded),
-            jnp.int32(t), jnp.int32(row), eng.config, spec, has_pad,
-        )
         self.rng, sub = jax.random.split(self.rng)
-        first = sample_from_logits(logits, sub, self.temperature, self.top_p, 1)
-        first_tok = int(first[0, 0])
-        req.tokens.append(first_tok)
-
-        shared = int(np.asarray(eng.get_shared_cache_len(1))[0])
-        st = self.state
-        eos_hit = self.eos >= 0 and first_tok == self.eos
-        active = (req.max_new_tokens > 1) and not eos_hit
-        self.state = BatchState(
-            cur_token=st.cur_token.at[row, 0].set(first_tok),
-            pos=st.pos.at[row].set(shared + t),
-            upos=st.upos.at[row].set(t),
-            remaining=st.remaining.at[row].set(req.max_new_tokens - 1),
-            active=st.active.at[row].set(active),
+        # Single dispatch, no host readback: the first token is collected at
+        # the next chunk sync. (If it happens to be eos the row decodes its
+        # budget wastefully but collection truncates correctly — rare enough
+        # not to buy a round-trip per admission.)
+        self.state, eng.cache = _admit_step(
+            eng.params, eng.cache, self.state, jnp.asarray(padded),
+            jnp.int32(t), jnp.int32(row), jnp.int32(req.max_new_tokens), sub,
+            eng.config, spec, has_pad, self.temperature, self.top_p,
         )
         self._rows[row] = req
-        if not active:
-            self._retire(row)
+        self._fresh_rows.append(row)
 
     def _retire(self, row: int) -> None:
         req = self._rows[row]
@@ -230,6 +241,23 @@ class ContinuousBatcher:
 
     # -- main loop -------------------------------------------------------------
 
+    def _collect_fresh(self, pre_chunk_state) -> List[int]:
+        """Pull newly-admitted rows' first tokens (one readback for all);
+        returns rows that finished on their first token (eos / budget 1)."""
+        if not self._fresh_rows:
+            return []
+        firsts = np.asarray(
+            pre_chunk_state.cur_token[np.asarray(self._fresh_rows), 0]
+        )
+        finished = []
+        for row, tok in zip(self._fresh_rows, firsts):
+            req = self._rows[row]
+            req.tokens.append(int(tok))
+            if (self.eos >= 0 and tok == self.eos) or req.max_new_tokens <= 1:
+                finished.append(row)
+        self._fresh_rows = []
+        return finished
+
     def step(self) -> bool:
         """Admit from the queue, run one decode chunk; True if work remains."""
         for row in self._free_rows():
@@ -237,17 +265,24 @@ class ContinuousBatcher:
                 break
             self._admit(row, self._queue.pop(0))
 
-        if not bool(np.asarray(self.state.active).any()):
-            return bool(self._queue)
-
         eng = self.engine
         spec = eng._spec("decode", unique_history=True)
-        toks, self.state, eng.cache, self.rng = _decode_chunk(
+        toks, new_state, eng.cache, self.rng = _decode_chunk(
             eng.params, eng.cache, self.state, self.rng, eng.config, spec,
             self.chunk, self.temperature, self.top_p, self.eos,
         )
+        # One host sync per chunk: fresh rows' first tokens (pre-chunk
+        # state), the chunk's emitted tokens, and the active mask.
+        first_finished = self._collect_fresh(self.state)
+        self.state = new_state
+        if first_finished:
+            self.state = self.state._replace(
+                active=self.state.active.at[np.asarray(first_finished)].set(False)
+            )
         toks = np.asarray(toks)
         active_after = np.asarray(self.state.active)
+        for row in first_finished:
+            self._retire(row)
         for row, req in list(self._rows.items()):
             if req is None:
                 continue

@@ -126,4 +126,20 @@ PRESETS = {
         num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=8,
         rope_theta=500000.0, max_position_embeddings=8192,
     ),
+    # Llama-3.2 small GQA models (fit a single 16 GB v5e comfortably; note
+    # head_dim = hidden/heads = 64 for 1B).
+    "llama-3.2-1b": ModelConfig(
+        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+        rope_theta=500000.0, max_position_embeddings=131072,
+        rope_scaling=("llama3", 32.0, 1.0, 4.0, 8192),
+        tie_word_embeddings=True,
+    ),
+    "llama-3.2-3b": ModelConfig(
+        vocab_size=128256, hidden_size=3072, intermediate_size=8192,
+        num_hidden_layers=28, num_attention_heads=24, num_key_value_heads=8,
+        rope_theta=500000.0, max_position_embeddings=131072,
+        rope_scaling=("llama3", 32.0, 1.0, 4.0, 8192),
+        tie_word_embeddings=True,
+    ),
 }
