@@ -53,36 +53,41 @@ class BatchState(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "spec", "has_pad", "temperature", "top_p"),
+    static_argnames=("cfg", "spec", "temperature", "top_p"),
     donate_argnames=("cache", "state"),
 )
 def _admit_step(
-    params, cache, state, input_ids, seq_len, row, max_new, rng,
-    cfg, spec, has_pad, temperature, top_p,
+    params, cache, state, input_ids, seq_lens, rows, max_news, rng,
+    cfg, spec, temperature, top_p,
 ):
-    """Prefill one request's suffix into unique-cache row ``row``, sample its
-    first token and write the row's decode state — a single dispatch per
-    admission (host round-trips per admission would dominate the scheduler)."""
-    b, t = input_ids.shape  # b == 1
-    shared_lens = shared_len_for_batch(cache, spec.num_used_levels, b)
-    if has_pad:
-        local_pos = jnp.minimum(jnp.arange(t)[None, :], seq_len - 1)
-        lens = jnp.full((b,), 0, jnp.int32) + seq_len
-    else:
-        local_pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)).astype(jnp.int32)
-        lens = jnp.full((b,), t, jnp.int32)
+    """Prefill K requests' suffixes into their unique-cache rows, sample
+    their first tokens and write the rows' decode state — ONE dispatch per
+    admission round (per-request host round-trips would dominate the
+    scheduler; per-request dispatches still cost ~10-20 ms each on a
+    tunnel-attached device).
+
+    input_ids: ``[K, tb]`` right-padded; seq_lens/rows/max_news: ``[K]``.
+    Rows may repeat (K is padded to a bucket by repeating an entry — the
+    duplicate writes are idempotent).
+    """
+    K, t = input_ids.shape
+    shared_lens = shared_len_for_batch(cache, spec.num_used_levels, K)
+    local_pos = jnp.minimum(jnp.arange(t)[None, :], seq_lens[:, None] - 1)
     pos = shared_lens[:, None] + local_pos
     hidden, nk, nv = model_forward(params, cfg, cache, input_ids, pos, local_pos, spec)
-    cache = update_unique_prefill(cache, nk, nv, start=0, row_start=row)
-    logits = logits_from_hidden(params, cfg, hidden, lens if has_pad else None)
+    for i in range(K):  # K is static and small; block writes per row slot
+        cache = update_unique_prefill(
+            cache, nk[:, i : i + 1], nv[:, i : i + 1], start=0, row_start=rows[i]
+        )
+    logits = logits_from_hidden(params, cfg, hidden, seq_lens)
     first = sample_from_logits(logits[:, -1], rng, temperature, top_p, 1)
 
     state = BatchState(
-        cur_token=state.cur_token.at[row].set(first[0]),
-        pos=state.pos.at[row].set(shared_lens[0] + lens[0]),
-        upos=state.upos.at[row].set(lens[0]),
-        remaining=state.remaining.at[row].set(max_new - 1),
-        active=state.active.at[row].set(max_new > 1),
+        cur_token=state.cur_token.at[rows].set(first),
+        pos=state.pos.at[rows].set(shared_lens + seq_lens),
+        upos=state.upos.at[rows].set(seq_lens),
+        remaining=state.remaining.at[rows].set(max_news - 1),
+        active=state.active.at[rows].set(max_news > 1),
     )
     return state, cache
 
@@ -211,26 +216,47 @@ class ContinuousBatcher:
     def _free_rows(self) -> List[int]:
         return [r for r, req in self._rows.items() if req is None]
 
-    def _admit(self, row: int, req: _Request) -> None:
+    def _admit_batch(self, pairs: List) -> None:
+        """Admit [(row, req), ...] — one dispatch per (prompt-bucket, K-bucket).
+
+        Requests are grouped by padded prompt width; each group's K is padded
+        to a power of two by repeating its first entry (idempotent rewrites)
+        so the jit cache holds O(log B x #buckets) programs, not one per K.
+        No host readbacks: first tokens are collected at the next chunk sync
+        (a first-token eos wastes one row's chunk budget — rare, cheaper than
+        a round-trip per admission).
+        """
         eng = self.engine
-        t = len(req.ids)
-        tb = -(-t // self.bucket) * self.bucket  # pad to bucket
-        padded = np.zeros((1, tb), dtype=np.int32)
-        padded[0, :t] = req.ids
         spec = eng._spec("unique_prefill", unique_history=False)
-        has_pad = tb != t
-        self.rng, sub = jax.random.split(self.rng)
-        # Single dispatch, no host readback: the first token is collected at
-        # the next chunk sync. (If it happens to be eos the row decodes its
-        # budget wastefully but collection truncates correctly — rare enough
-        # not to buy a round-trip per admission.)
-        self.state, eng.cache = _admit_step(
-            eng.params, eng.cache, self.state, jnp.asarray(padded),
-            jnp.int32(t), jnp.int32(row), jnp.int32(req.max_new_tokens), sub,
-            eng.config, spec, has_pad, self.temperature, self.top_p,
-        )
-        self._rows[row] = req
-        self._fresh_rows.append(row)
+        groups: Dict[int, List] = {}
+        for row, req in pairs:
+            tb = -(-max(1, len(req.ids)) // self.bucket) * self.bucket
+            groups.setdefault(tb, []).append((row, req))
+
+        for tb, members in groups.items():
+            k = len(members)
+            kb = 1
+            while kb < k:
+                kb *= 2
+            padded_members = members + [members[0]] * (kb - k)
+            ids = np.zeros((kb, tb), dtype=np.int32)
+            lens = np.zeros((kb,), dtype=np.int32)
+            rows = np.zeros((kb,), dtype=np.int32)
+            max_news = np.zeros((kb,), dtype=np.int32)
+            for i, (row, req) in enumerate(padded_members):
+                ids[i, : len(req.ids)] = req.ids
+                lens[i] = len(req.ids)
+                rows[i] = row
+                max_news[i] = req.max_new_tokens
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, eng.cache = _admit_step(
+                eng.params, eng.cache, self.state, jnp.asarray(ids),
+                jnp.asarray(lens), jnp.asarray(rows), jnp.asarray(max_news),
+                sub, eng.config, spec, self.temperature, self.top_p,
+            )
+            for row, req in members:
+                self._rows[row] = req
+                self._fresh_rows.append(row)
 
     def _retire(self, row: int) -> None:
         req = self._rows[row]
@@ -260,10 +286,13 @@ class ContinuousBatcher:
 
     def step(self) -> bool:
         """Admit from the queue, run one decode chunk; True if work remains."""
+        pairs = []
         for row in self._free_rows():
             if not self._queue:
                 break
-            self._admit(row, self._queue.pop(0))
+            pairs.append((row, self._queue.pop(0)))
+        if pairs:
+            self._admit_batch(pairs)
 
         eng = self.engine
         spec = eng._spec("decode", unique_history=True)
