@@ -75,6 +75,24 @@ def test_continuous_batching_eos(setup):
     assert results[rid] == full[:3]
 
 
+def test_continuous_batching_quantized_kv_and_sampling(setup):
+    """int8 KV cache + temperature sampling: plausible tokens, full budgets."""
+    params, shared, prompts = setup
+    eng = HydragenLlama(CFG, params, quantization="int8")
+    eng.setup_caches(2, 32, [1], [16], kv_quant="int8")
+    eng.append_shared(shared)
+    cb = ContinuousBatcher(eng, chunk=3, bucket=4, temperature=0.9, seed=7)
+    rids = [cb.submit(p, max_new_tokens=6) for p in prompts[:4]]
+    results = cb.run()
+    assert set(results) == set(rids)
+    for rid in rids:
+        toks = results[rid]
+        assert len(toks) == 6
+        assert all(0 <= t < CFG.vocab_size for t in toks)
+    # Sampling across requests should not be identical everywhere.
+    assert len({tuple(v) for v in results.values()}) > 1
+
+
 def test_continuous_batching_varied_budgets(setup):
     params, shared, prompts = setup
     eng = HydragenLlama(CFG, params)
