@@ -1,0 +1,86 @@
+"""CLI scripts smoke tests (CPU, tiny configs).
+
+The reference validates its scripts only by running them on GPUs; here the
+sweep/bench CLIs run in-process on the CPU backend with a monkeypatched tiny
+preset, checking the full path: arg parsing -> engine -> timing -> YAML
+persistence -> resumability.
+"""
+
+import runpy
+import sys
+
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax  # noqa: F401  (platform forced by conftest)
+
+from hydragen_tpu.models.config import PRESETS, ModelConfig
+from hydragen_tpu.utils import SynthBenchmarkResult, load_yaml_dataclass
+
+TINY = ModelConfig(
+    vocab_size=128, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    dtype="float32",
+)
+
+
+def run_script(monkeypatch, path, argv):
+    monkeypatch.setattr(sys, "argv", [path] + argv)
+    runpy.run_path(path, run_name="__main__")
+
+
+@pytest.fixture
+def tiny_preset(monkeypatch):
+    monkeypatch.setitem(PRESETS, "tiny", TINY)
+    return "tiny"
+
+
+def test_synth_script(tmp_path, monkeypatch, tiny_preset):
+    out = tmp_path / "synth"
+    args = ["--bs", "2", "--num-shared", "16", "--num-unique", "4",
+            "--mode", "all", "--preset", tiny_preset, "--iters", "2",
+            "--dtype", "float32"]
+    run_script(monkeypatch, "scripts/synth.py", [str(out)] + args)
+    files = sorted(p.name for p in out.glob("*.yaml"))
+    assert files == [
+        "hydragen_bs2_ns16_nu4.yaml",
+        "hydragen_noshared_bs2_ns16_nu4.yaml",
+        "noattention_bs2_ns16_nu4.yaml",
+    ]
+    res = load_yaml_dataclass(SynthBenchmarkResult, out / files[0])
+    assert res.mode == "hydragen" and res.throughput > 0
+
+    # Resumability: a second run skips every existing config.
+    mtimes = {p.name: p.stat().st_mtime for p in out.glob("*.yaml")}
+    run_script(monkeypatch, "scripts/synth.py", [str(out)] + args)
+    assert {p.name: p.stat().st_mtime for p in out.glob("*.yaml")} == mtimes
+
+
+def test_synth_script_hierarchical(tmp_path, monkeypatch, tiny_preset):
+    out = tmp_path / "synth2"
+    run_script(monkeypatch, "scripts/synth.py", [
+        str(out), "--bs", "4", "--num-shared", "64", "--num-unique", "4",
+        "--mode", "hydragen_nohierarchy", "--levels", "2", "--level2-bs", "2",
+        "--preset", tiny_preset, "--iters", "1", "--dtype", "float32",
+    ])
+    assert (out / "hydragen_nohierarchy_bs4_ns64_nu4.yaml").exists()
+
+
+def test_microbenchmark_script(tmp_path, monkeypatch):
+    out = tmp_path / "micro"
+    run_script(monkeypatch, "scripts/microbenchmark.py", [
+        str(out), "--bs", "4", "--num-shared", "64", "--num-unique", "0,16",
+        "--qheads", "4", "--kvheads", "2", "--dim", "64", "--iters", "2",
+        "--dtype", "float32",
+    ])
+    assert len(list(out.glob("*.yaml"))) == 4  # 2 modes x 2 unique lens
+
+
+def test_needles_script(tmp_path, monkeypatch, tiny_preset):
+    out = tmp_path / "needles"
+    run_script(monkeypatch, "scripts/needles.py", [
+        str(out), "--preset", tiny_preset, "--haystack-chars", "2000",
+        "--num-needles", "4", "--num-questions", "2", "--max-new-tokens", "2",
+    ])
+    assert (out / "needles_q2.yaml").exists()
