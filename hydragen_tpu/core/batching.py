@@ -71,7 +71,9 @@ def _admit_step(
     duplicate writes are idempotent).
     """
     K, t = input_ids.shape
-    shared_lens = shared_len_for_batch(cache, spec.num_used_levels, K)
+    shared_lens = shared_len_for_batch(
+        cache, spec.num_used_levels, K, spec.level_batch or None
+    )
     local_pos = jnp.minimum(jnp.arange(t)[None, :], seq_lens[:, None] - 1)
     pos = shared_lens[:, None] + local_pos
     hidden, nk, nv = model_forward(params, cfg, cache, input_ids, pos, local_pos, spec)
@@ -188,10 +190,6 @@ class ContinuousBatcher:
         self._rows: Dict[int, Optional[_Request]] = {r: None for r in range(B)}
         self._done: Dict[int, _Request] = {}
         self._next_rid = 0
-        # The shared-prefix length is fixed for this pool's lifetime; reading
-        # it once avoids a device round-trip per admission (construct the
-        # batcher after the prefix stack is final).
-        self._shared_len = int(np.asarray(engine.get_shared_cache_len(1))[0])
         # Rows admitted since the last chunk: their first (prefill-sampled)
         # token lives in state.cur_token and is read back together with the
         # chunk's tokens — admission itself never syncs with the host.
@@ -229,8 +227,12 @@ class ContinuousBatcher:
         eng = self.engine
         spec = eng._spec("unique_prefill", unique_history=False)
         groups: Dict[int, List] = {}
+        max_width = eng.cache.max_unique_seq_len
         for row, req in pairs:
             tb = -(-max(1, len(req.ids)) // self.bucket) * self.bucket
+            # A prompt that fits the row (submit() checks ids+budget <= width)
+            # may bucket past the row width; clamp so the block write fits.
+            tb = min(tb, max_width)
             groups.setdefault(tb, []).append((row, req))
 
         for tb, members in groups.items():

@@ -135,20 +135,23 @@ def allocate_cache(
 
 
 def shared_len_for_batch(
-    cache: KVCache, num_used_levels: int, batch_size: int
+    cache: KVCache, num_used_levels: int, batch_size: int,
+    batch_sizes: Sequence[int] | None = None,
 ) -> jax.Array:
     """Total shared-prefix length per sequence, ``[batch_size]`` int32.
 
     Mirrors ``PerLayerKVCache.get_shared_len`` (llama.py:317-330): each
     level's per-prefix lengths are broadcast (repeat-interleaved) up to the
-    final batch size and summed.
+    final batch size and summed. ``batch_sizes`` gives each level's *filled*
+    prefix count when smaller than allocated (SharedCache.fill accepts
+    bs < max_batch_size, llama.py:120-167).
     """
     total = jnp.zeros((batch_size,), dtype=jnp.int32)
-    for level in cache.shared[:num_used_levels]:
-        sb = level.max_batch_size
+    for i, level in enumerate(cache.shared[:num_used_levels]):
+        sb = batch_sizes[i] if batch_sizes else level.max_batch_size
         assert batch_size % sb == 0, f"{batch_size} % {sb} != 0"
         total = total + jnp.repeat(
-            level.seq_lens, batch_size // sb, total_repeat_length=batch_size
+            level.seq_lens[:sb], batch_size // sb, total_repeat_length=batch_size
         )
     return total
 
@@ -291,16 +294,27 @@ def repeat_unique_for_samples(
     )
 
 
-def copy_shared_to_unique(cache: KVCache, total_num_sequences: int) -> KVCache:
+def copy_shared_to_unique(
+    cache: KVCache, total_num_sequences: int, sb: int | None = None
+) -> KVCache:
     """Materialize the single shared level into every row of the unique cache.
 
     For the no-hydragen (FlashAttention) baseline (llama.py:264-298). The
     shared KV (level 0) is repeated per-sequence and written at the *front*
     of the unique cache; subsequent unique positions follow it (the engine
-    offsets positions accordingly when hydragen is disabled).
+    offsets positions accordingly when hydragen is disabled). ``sb`` is the
+    level's filled prefix count (defaults to allocated).
     """
     level = cache.shared[0]
-    sb = level.max_batch_size
+    if sb is None:
+        sb = level.max_batch_size
+    if sb != level.max_batch_size:
+        level = level._replace(
+            k=level.k[:, :sb], v=level.v[:, :sb],
+            k_scale=None if level.k_scale is None else level.k_scale[:, :sb],
+            v_scale=None if level.v_scale is None else level.v_scale[:, :sb],
+            seq_lens=level.seq_lens[:sb],
+        )
     assert total_num_sequences % sb == 0
     rep = total_num_sequences // sb
     S = level.max_seq_len

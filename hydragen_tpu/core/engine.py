@@ -104,7 +104,9 @@ _sample_first = jax.jit(
 )
 def _shared_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, full_logits, has_pad):
     b, t = input_ids.shape
-    shared_lens = shared_len_for_batch(cache, spec.num_used_levels, b)
+    shared_lens = shared_len_for_batch(
+        cache, spec.num_used_levels, b, spec.level_batch or None
+    )
     if has_pad:
         local_pos = jnp.minimum(jnp.arange(t)[None, :], seq_lens[:, None] - 1)
     else:
@@ -127,7 +129,9 @@ def _shared_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, full_log
 )
 def _unique_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, has_pad):
     b, t = input_ids.shape
-    shared_lens = shared_len_for_batch(cache, spec.num_used_levels, b)
+    shared_lens = shared_len_for_batch(
+        cache, spec.num_used_levels, b, spec.level_batch or None
+    )
     pos = shared_lens[:, None] + jnp.arange(t)[None, :]
     if spec.disable_hydragen:
         # Shared prefix was copied to the front of the unique cache; unique
@@ -185,17 +189,24 @@ def _decode_steps(
         return (cache, tok_next, rng, i + 1), out
 
     init = (cache, first_token, rng, jnp.int32(0))
-    (cache, _, _, _), (toks, logits_seq) = jax.lax.scan(step, init, overrides, length=steps)
-    return toks.T, logits_seq, cache  # toks [b, steps]
+    (cache, next_tok, rng, _), (toks, logits_seq) = jax.lax.scan(
+        step, init, overrides, length=steps
+    )
+    # next_tok/rng are the carry a follow-up chunk resumes from (EOS
+    # early-exit runs the decode in chunks with a host check between).
+    return toks.T, logits_seq, cache, next_tok, rng  # toks [b, steps]
 
 
-@partial(jax.jit, static_argnames=("num_used", "batch_size"), donate_argnames=())
-def _shared_len(cache, num_used, batch_size):
-    return shared_len_for_batch(cache, num_used, batch_size)
+@partial(
+    jax.jit, static_argnames=("num_used", "batch_size", "batch_sizes"),
+    donate_argnames=(),
+)
+def _shared_len(cache, num_used, batch_size, batch_sizes=None):
+    return shared_len_for_batch(cache, num_used, batch_size, batch_sizes)
 
 
 _copy_shared_to_unique = jax.jit(
-    copy_shared_to_unique, static_argnames=("total_num_sequences",),
+    copy_shared_to_unique, static_argnames=("total_num_sequences", "sb"),
     donate_argnames=("cache",),
 )
 _repeat_unique = jax.jit(
@@ -218,6 +229,8 @@ class HydragenLlama:
         impl: Optional[str] = None,
         mesh=None,
         quantization: Optional[str] = None,
+        prefill_bucket: int = 128,
+        eos_chunk: int = 32,
     ):
         if quantization is not None:
             from hydragen_tpu.ops.quant import QuantizedTensor, quantize_params
@@ -232,6 +245,18 @@ class HydragenLlama:
         self.cache: Optional[KVCache] = None
         self.num_used_levels = 0
         self.level_filled: List[int] = []
+        self.level_batch: List[int] = []
+        # Shared-prefill inputs are right-padded up to a multiple of
+        # prefill_bucket (seq_lens mask the padding): level_filled is a jit
+        # specialization key, so without bucketing every distinct document
+        # length compiles a fresh program for prefill AND every subsequent
+        # decode/unique-prefill spec (SURVEY §7's compile-per-shape risk;
+        # a 16K needles doc costs ~49 s of compile). 0 disables.
+        self.prefill_bucket = prefill_bucket
+        # Decode runs in eos_chunk-step scanned chunks with a host EOS check
+        # between chunks when eos_token_id is set (reference breaks the loop,
+        # llama.py:1337-1373); a single full-length scan otherwise. 0 disables.
+        self.eos_chunk = eos_chunk
         self._disable_hydragen = False
         self._disable_attention = False
         if mesh is not None:
@@ -333,6 +358,7 @@ class HydragenLlama:
         )
         self.num_used_levels = 0
         self.level_filled = []
+        self.level_batch = []
         if self.mesh is not None:
             from hydragen_tpu.parallel import shard_cache
 
@@ -345,9 +371,13 @@ class HydragenLlama:
         assert new_num <= len(self.cache.shared)
         self.num_used_levels = min(new_num, self.num_used_levels)
         self.level_filled = self.level_filled[: self.num_used_levels]
+        self.level_batch = self.level_batch[: self.num_used_levels]
 
     def get_shared_cache_len(self, batch_size: int) -> jax.Array:
-        return _shared_len(self.cache, self.num_used_levels, batch_size)
+        return _shared_len(
+            self.cache, self.num_used_levels, batch_size,
+            tuple(self.level_batch) or None,
+        )
 
     def get_num_used_shared_caches(self) -> int:
         return self.num_used_levels
@@ -368,24 +398,44 @@ class HydragenLlama:
             disable_attention=self._disable_attention,
             impl=self.impl,
             sharded=self.mesh is not None,
+            level_batch=tuple(self.level_batch),
         )
 
     # -- prefill entry points (llama.py:1073-1145) --------------------------
 
     def append_shared(self, input_ids, seq_lens=None, full_logits: bool = False):
-        """Prefill a new shared level; returns its last-token logits."""
+        """Prefill a new shared level; returns its last-token logits.
+
+        The level may be filled with *fewer* prefixes than allocated
+        (reference SharedCache.fill, llama.py:120-167); subsequent batches
+        must be divisible by the filled count. Inputs are right-padded to a
+        ``prefill_bucket`` multiple (masked via seq_lens) so two documents of
+        similar length reuse one compiled program.
+        """
         assert self.cache is not None, "call setup_caches first"
         assert self.num_used_levels < len(self.cache.shared), "no free shared level"
         input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
         level = self.cache.shared[self.num_used_levels]
-        assert input_ids.shape[0] == level.max_batch_size, (
+        b, t = input_ids.shape
+        assert b <= level.max_batch_size, (
             f"level {self.num_used_levels} allocated for {level.max_batch_size} "
-            f"prefixes, got {input_ids.shape[0]} — allocate exact batch sizes "
-            "(query folding maps rows to prefixes by the allocated batch)"
+            f"prefixes, got {b}"
+        )
+        assert t <= level.max_seq_len, (
+            f"level {self.num_used_levels} holds {level.max_seq_len} tokens, got {t}"
         )
         has_pad = seq_lens is not None
         if has_pad:
             seq_lens = jnp.asarray(seq_lens, dtype=jnp.int32)
+        bucket = self.prefill_bucket
+        if bucket and t % bucket:
+            tb = min(-(-t // bucket) * bucket, level.max_seq_len)
+            if tb > t:
+                if not has_pad:
+                    seq_lens = jnp.full((b,), t, dtype=jnp.int32)
+                    has_pad = True
+                input_ids = jnp.pad(input_ids, ((0, 0), (0, tb - t)))
+                t = tb
         spec = ForwardSpec(
             mode="shared_prefill",
             num_used_levels=self.num_used_levels,
@@ -396,13 +446,15 @@ class HydragenLlama:
             disable_attention=self._disable_attention,
             impl=self.impl,
             sharded=self.mesh is not None,
+            level_batch=tuple(self.level_batch),
         )
         logits, self.cache = _shared_prefill_step(
             self.params, self.cache, input_ids, seq_lens, self.config, spec,
             full_logits, has_pad,
         )
         self.num_used_levels += 1
-        self.level_filled.append(int(input_ids.shape[1]))
+        self.level_filled.append(t)
+        self.level_batch.append(b)
         return logits
 
     def process_unique(self, input_ids, seq_lens=None):
@@ -499,7 +551,9 @@ class HydragenLlama:
         if disable_hydragen:
             self._disable_hydragen = True
             if self.num_used_levels > 0:
-                self.cache = _copy_shared_to_unique(self.cache, total_batch)
+                self.cache = _copy_shared_to_unique(
+                    self.cache, total_batch, self.level_batch[0]
+                )
 
         if suffix_ids is not None:
             starting_logits = self.process_unique(suffix_ids, suffix_lens)
@@ -552,15 +606,42 @@ class HydragenLlama:
             # Decode positions are uniform across rows unless the suffix
             # prefill was ragged (then per-row scatter is required).
             uniform_pos = suffix_lens is None
-            toks, step_logits, self.cache = _decode_steps(
-                self.params, self.cache, input_first, start_pos,
-                start_unique_pos, rng, overrides_xs, self.config, spec, steps,
-                temperature, top_p, use_overrides, return_logits,
-                uniform_pos=uniform_pos,
-            )
-            tokens = jnp.concatenate([first_token, toks], axis=1)
-            if return_logits:
-                logits_out.extend(list(step_logits))
+
+            # EOS early-exit (llama.py:1337-1373): decode in fixed-size
+            # scanned chunks with one host check between chunks, so a batch
+            # that finishes at token 3 of max_new=256 pays ~1 chunk, not the
+            # full budget. Without an eos the whole budget is one scan.
+            chunk = self.eos_chunk if eos_token_id is not None else 0
+            if not chunk or chunk >= steps:
+                plan = [steps]
+            else:
+                plan = [chunk] * (steps // chunk)
+                if steps % chunk:
+                    plan.append(steps % chunk)
+
+            tok_chunks = [first_token]
+            cur_tok = input_first
+            finished = None
+            done = 0
+            for c in plan:
+                toks, step_logits, self.cache, cur_tok, rng = _decode_steps(
+                    self.params, self.cache, cur_tok, start_pos + done,
+                    start_unique_pos + done, rng, overrides_xs[done : done + c],
+                    self.config, spec, c, temperature, top_p, use_overrides,
+                    return_logits, uniform_pos=uniform_pos,
+                )
+                done += c
+                tok_chunks.append(toks)
+                if return_logits:
+                    logits_out.extend(list(step_logits))
+                if eos_token_id is not None and len(plan) > 1:
+                    hit = np.asarray(toks == eos_token_id).any(axis=1)
+                    if finished is None:
+                        finished = np.asarray(first_token[:, 0] == eos_token_id)
+                    finished = finished | hit
+                    if finished.all():
+                        break
+            tokens = jnp.concatenate(tok_chunks, axis=1)
         else:
             tokens = first_token
 

@@ -95,9 +95,6 @@ def make_needle_haystack(
     """
     assert num_needles > 2
 
-    if corpus_path is None:
-        default = Path("/root/reference/data/war_and_peace.txt")
-        corpus_path = str(default) if default.exists() else None
     if corpus_path is not None:
         content = Path(corpus_path).read_text()
     else:
@@ -106,6 +103,13 @@ def make_needle_haystack(
     needles = _build_needles(num_needles)
     results = [needles[0].sentence]
     block = target_context_length // (num_needles - 1)
+
+    # The interleave walk consumes up to target + one block (plus a sentence
+    # boundary search); a short corpus would index past the end — extend it
+    # with synthetic filler (which is sentence-terminated) instead.
+    need = target_context_length + 2 * block + 1024
+    if len(content) < need:
+        content = content.rstrip() + ". " + _synthetic_filler(need - len(content))
 
     lo, hi = 0, block
     positions = [0]

@@ -112,6 +112,14 @@ PRESETS = {
         num_hidden_layers=40, num_attention_heads=40, num_key_value_heads=40,
         rope_theta=1000000.0, max_position_embeddings=16384,
     ),
+    # The reference's sweep workhorse (docs/sweeps_from_paper.md:44-47). On a
+    # 16 GB v5e this needs int8 weights (~33 GB bf16 -> ~17 GB) *and* TP >= 2;
+    # single-chip bring-up uses TP over the 8 GQA kv-heads + int8 KV.
+    "codellama-34b": ModelConfig(
+        vocab_size=32016, hidden_size=8192, intermediate_size=22016,
+        num_hidden_layers=48, num_attention_heads=64, num_key_value_heads=8,
+        rope_theta=1000000.0, max_position_embeddings=16384,
+    ),
     "yi-6b-200k": ModelConfig(
         vocab_size=64000, hidden_size=4096, intermediate_size=11008,
         num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=4,

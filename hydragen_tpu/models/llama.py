@@ -213,6 +213,25 @@ class ForwardSpec(NamedTuple):
     disable_attention: bool
     impl: Optional[str] = None
     sharded: bool = False  # running SPMD over a mesh (disables Pallas paths)
+    # Static filled *prefix count* per active level; () = all fully filled
+    # (reference SharedCache.fill accepts bs < max_batch_size, llama.py:120).
+    level_batch: Tuple[int, ...] = ()
+
+
+def resolve_forward_impl(spec: ForwardSpec) -> str:
+    """Attention impl actually used by model_forward for this spec.
+
+    Under GSPMD sharding every attention call routes to XLA: a pallas_call is
+    an opaque custom call the partitioner cannot split, so letting
+    ``impl="auto"`` pick Pallas on a sharded operand would force replication
+    (or fail to compile). The sp/tp-sharded large-prefill path therefore runs
+    the XLA kernel, whose einsum+softmax GSPMD partitions exactly
+    (ref semantics anchor: tp.py:84-112).
+    """
+    impl = _pick_impl(spec.impl)
+    if spec.sharded and impl != "xla":
+        return "xla"
+    return impl
 
 
 def model_forward(
@@ -242,7 +261,7 @@ def model_forward(
     Returns:
         (hidden ``[b, t, H]``, new_k ``[L, b, hkv, t, hd]``, new_v likewise).
     """
-    impl = _pick_impl(spec.impl)
+    impl = resolve_forward_impl(spec)
     b, t = input_ids.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
@@ -255,6 +274,10 @@ def model_forward(
     sin = sin.astype(cfg.jax_dtype)
 
     active_levels = cache.shared[: spec.num_used_levels]
+    # Filled prefix count per level (may be < allocated, llama.py:120-167).
+    level_sb = spec.level_batch or tuple(
+        lv.max_batch_size for lv in active_levels
+    )
     # Static slice of each level to its filled length (the reference's
     # sliced_sequence_length fast path, llama.py:377-400, minus varlen).
     # Quantized caches carry (payload, scale) pairs; dequantization happens
@@ -284,6 +307,8 @@ def model_forward(
         and not spec.sharded
         and cache.unique_k_scale is None
         and cache.shared[0].k_scale is None
+        and (not spec.level_batch
+             or spec.level_batch[0] == cache.shared[0].max_batch_size)
         and cfg.head_dim % 128 == 0
         and spec.impl == "fused"
         and jax.default_backend() == "tpu"
@@ -294,9 +319,15 @@ def model_forward(
         level_lens = [active_levels[0].seq_lens]
         uk = uv = None
     else:
-        level_ks = [kv_view(lv.k, lv.k_scale, fl) for lv, fl in zip(active_levels, spec.level_filled)]
-        level_vs = [kv_view(lv.v, lv.v_scale, fl) for lv, fl in zip(active_levels, spec.level_filled)]
-        level_lens = [lv.seq_lens for lv in active_levels]
+        level_ks = [
+            kv_view(lv.k, lv.k_scale, fl, rows=sb)
+            for lv, fl, sb in zip(active_levels, spec.level_filled, level_sb)
+        ]
+        level_vs = [
+            kv_view(lv.v, lv.v_scale, fl, rows=sb)
+            for lv, fl, sb in zip(active_levels, spec.level_filled, level_sb)
+        ]
+        level_lens = [lv.seq_lens[:sb] for lv, sb in zip(active_levels, level_sb)]
 
         if spec.unique_history:
             uk = kv_view(cache.unique_k, cache.unique_k_scale, spec.unique_filled, rows=b)

@@ -123,12 +123,22 @@ def dataclass_to_dict(obj):
 
 
 def dataclass_from_dict(cls, data: dict):
+    # Under `from __future__ import annotations` f.type is a *string*; resolve
+    # the real types once so nested dataclasses round-trip instead of silently
+    # reconstructing as plain dicts.
+    import typing
+
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:  # unresolvable forward refs: fall back to raw f.type
+        hints = {}
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name in data:
             val = data[f.name]
-            if dataclasses.is_dataclass(f.type):
-                val = dataclass_from_dict(f.type, val)
+            ftype = hints.get(f.name, f.type)
+            if dataclasses.is_dataclass(ftype) and isinstance(val, dict):
+                val = dataclass_from_dict(ftype, val)
             kwargs[f.name] = val
     return cls(**kwargs)
 
