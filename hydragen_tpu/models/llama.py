@@ -305,8 +305,7 @@ def model_forward(
         and not spec.disable_hydragen
         and not spec.disable_attention
         and not spec.sharded
-        and cache.unique_k_scale is None
-        and cache.shared[0].k_scale is None
+        and (cache.unique_k_scale is None) == (cache.shared[0].k_scale is None)
         and (not spec.level_batch
              or spec.level_batch[0] == cache.shared[0].max_batch_size)
         and cfg.head_dim % 128 == 0
@@ -334,14 +333,6 @@ def model_forward(
             uv = kv_view(cache.unique_v, cache.unique_v_scale, spec.unique_filled, rows=b)
         else:
             uk = uv = None
-
-    def deq(pair):
-        payload, scale = pair
-        if scale is None:
-            return payload
-        from hydragen_tpu.ops.quant import dequantize_kv
-
-        return dequantize_kv(payload, scale, cfg.jax_dtype)
 
     lp = params["layers"]
     has_bias = "bq" in lp
@@ -373,9 +364,17 @@ def model_forward(
                 from hydragen_tpu.ops.fused import fused_hydragen_decode_cached
 
                 level = cache.shared[0]
+                kv_quant = cache.unique_k_scale is not None
                 o, l = fused_hydragen_decode_cached(
                     li, q, level.k, level.v, level_lens[0],
                     cache.unique_k, cache.unique_v, history_lens,
+                    shared_scales=(
+                        (level.k_scale, level.v_scale) if kv_quant else None
+                    ),
+                    unique_scales=(
+                        (cache.unique_k_scale, cache.unique_v_scale)
+                        if kv_quant else None
+                    ),
                 )
                 outs.append(o)
                 lses.append(l)
@@ -384,15 +383,18 @@ def model_forward(
                     for (lk, lv_), lens in zip(lvl_kv, level_lens):
                         sb = lk[0].shape[0]
                         bq_ = fold_queries_for_shared(q, sb)
+                        # (payload, scale) pairs pass through: the Pallas
+                        # kernels dequantize in-register; XLA fuses the
+                        # up-front dequant into the einsum operand read.
                         o, l = _attention(
-                            bq_, deq(lk), deq(lv_), causal=False,
+                            bq_, lk, lv_, causal=False,
                             kv_seq_lens=lens, impl=impl,
                         )
                         outs.append(unfold_shared_out(o, b, t))
                         lses.append(unfold_shared_lse(l, b, t))
                 if ukv is not None:
                     o, l = _attention(
-                        q, deq(ukv[0]), deq(ukv[1]), causal=False,
+                        q, ukv[0], ukv[1], causal=False,
                         kv_seq_lens=history_lens, impl=impl,
                     )
                     outs.append(o)

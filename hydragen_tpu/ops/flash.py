@@ -42,6 +42,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+# Clamp floor for the exp argument's running max: exp(NEG_INF - NEG_CLAMP)
+# underflows to exactly 0, so masked scores need no second `where` after the
+# exp — one VPU pass saved per score element — while any real score
+# (|s| << 1e30) keeps m_next > NEG_CLAMP and the clamp is a no-op.
+NEG_CLAMP = -1e30
 LANES = 128
 
 
@@ -49,25 +54,42 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _flatten_rows_to_lanes(x2d: jax.Array, rows: int, width: int) -> jax.Array:
+    """[rows, width] -> [1, rows*width] with segment r = x2d[r, :].
+
+    Mosaic cannot reshape sublanes into lanes, so the flatten is built from
+    layout-legal ops: tile along lanes, mask each lane segment to its source
+    sublane, reduce over sublanes. Used to turn a per-(row, token) KV-scale
+    block into the per-score-column scale vector of the row-batched kernels.
+    """
+    tiled = jnp.concatenate([x2d] * rows, axis=1)  # [rows, rows*width]
+    seg = jax.lax.broadcasted_iota(jnp.int32, tiled.shape, 1) // width
+    sub = jax.lax.broadcasted_iota(jnp.int32, tiled.shape, 0)
+    return jnp.sum(jnp.where(seg == sub, tiled, 0.0), axis=0, keepdims=True)
+
+
 def _kernel(
     lens_ref,  # scalar prefetch: [b] int32 kv lengths
     q_ref,     # [1, block_m, dp]
-    k_ref,     # [1, block_k, dp]
+    k_ref,     # [1, block_k, dp]  (int8 when quantized)
     v_ref,     # [1, block_k, dp]
-    o_ref,     # [1, block_m, dp]
-    lse_ref,   # [1, block_m, LANES] (lane-broadcast; caller slices [..., 0])
-    m_scr,     # VMEM [block_m, LANES] f32
-    l_scr,     # VMEM [block_m, LANES] f32
-    acc_scr,   # VMEM [block_m, dp] f32
-    *,
+    *rest,     # [kscale_ref, vscale_ref (each [1, 1, block_k] f32)] when
+               # quantized, then o_ref, lse_ref, m_scr, l_scr, acc_scr
     hkv: int,
     q_len: int,
+    kv_len: int,
     block_m: int,
     block_k: int,
     num_kv_blocks: int,
     causal: bool,
     scale: float,
+    quantized: bool = False,
 ):
+    if quantized:
+        kscale_ref, vscale_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+
     ki = pl.program_id(2)
     mi = pl.program_id(1)
     b_idx = pl.program_id(0) // hkv
@@ -84,55 +106,110 @@ def _kernel(
     # Compute-skip for fully out-of-bounds blocks (paired with the index-map
     # clamp that avoids their DMA).
     run = block_start < limit
+    # Causal diagonal aligned to the END (oracle convention: query i attends
+    # kv j <= i + (kv_len - q_len); identical to top-left when kv_len==q_len).
+    diag_off = kv_len - q_len
     if causal:
         # Folded q row r corresponds to q position r % q_len (GQA fold is
         # head-major, position-minor). Highest q position in this q block:
         lo = mi * block_m
         hi = lo + block_m - 1
         max_qpos = jnp.where(lo // q_len == hi // q_len, hi % q_len, q_len - 1)
-        run = jnp.logical_and(run, block_start <= max_qpos)
+        run = jnp.logical_and(run, block_start <= max_qpos + diag_off)
 
     @pl.when(run)
     def _compute():
         q = q_ref[0]
         k = k_ref[0]
+        if quantized:
+            # int8 payload values are exact in bf16; the per-token dequant
+            # scale commutes out of the dot and lands on the score COLUMNS —
+            # [block_m, block_k] multiplies instead of [block_k, dp], and the
+            # scale block lives in lanes so the layout is legal.
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_m, block_k]
         s = s * scale  # fp32 scaling (matches the oracle's numerics)
+        if quantized:
+            s = s * kscale_ref[0]  # [1, block_k] broadcast over rows
 
-        cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_k), 1)
-        kpos = block_start + cols
-        mask = kpos < limit
+        def update(s, p_cols, v_zero):
+            """Online-softmax step. The exp's max is clamped to NEG_CLAMP so
+            masked (NEG_INF) scores underflow to exactly 0 without a second
+            `where` over the score block — at decode scale this kernel is
+            VPU-bound on exactly these passes."""
+            m_prev = m_scr[:, 0:1]
+            l_prev = l_scr[:, 0:1]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - jnp.maximum(m_next, NEG_CLAMP))
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+            m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+            l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+            v = v_ref[0]
+            if quantized:
+                # v's per-token scale moves onto p's columns (same commute).
+                v = v.astype(q.dtype)
+                p = p * p_cols()
+            if v_zero:
+                # Zero out-of-bounds V rows: the final block may read past
+                # the array (unspecified padding, possibly NaN) and 0 * NaN
+                # would poison the matmul.
+                vrows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+                v = jnp.where(
+                    block_start + vrows < limit, v, jnp.zeros((), v.dtype)
+                )
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[...] = acc_scr[...] * alpha + pv
+
+        # Fully in-bounds blocks skip masking entirely (most blocks, most of
+        # the time); only the boundary blocks pay the iota/compare/select
+        # passes.
+        is_full = block_start + block_k <= limit
         if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_k), 0)
-            qpos = (mi * block_m + rows) % q_len
-            mask = jnp.logical_and(mask, kpos <= qpos)
-        s = jnp.where(mask, s, NEG_INF)
+            lo = mi * block_m
+            hi = lo + block_m - 1
+            min_qpos = jnp.where(lo // q_len == hi // q_len, lo % q_len, 0)
+            is_full = jnp.logical_and(
+                is_full, block_start + block_k - 1 <= min_qpos + diag_off
+            )
 
-        m_prev = m_scr[:, 0:1]
-        l_prev = l_scr[:, 0:1]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        p = jnp.where(mask, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        @pl.when(is_full)
+        def _full():
+            update(s, (lambda: vscale_ref[0]) if quantized else None, False)
 
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        @pl.when(jnp.logical_not(is_full))
+        def _partial():
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_m, block_k), 1)
+            kpos = block_start + cols
+            mask = kpos < limit
+            if causal:
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_m, block_k), 0
+                )
+                qpos = (mi * block_m + rows) % q_len
+                mask = jnp.logical_and(mask, kpos <= qpos + diag_off)
+            sm = jnp.where(mask, s, NEG_INF)
 
-        v = v_ref[0]
-        # Zero out-of-bounds V rows: the final block may read past the array
-        # (Pallas pads such reads with unspecified values; NaN in interpret
-        # mode) and 0 * NaN would poison the matmul.
-        vrows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-        v = jnp.where(block_start + vrows < limit, v, jnp.zeros((), v.dtype))
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha + pv
+            def p_cols():
+                # Zero scales past the row's length: the final partial block
+                # may read unspecified (NaN) padding and p==0 there would
+                # not save the product.
+                vs = vscale_ref[0]
+                return jnp.where(
+                    block_start
+                    + jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
+                    < limit, vs, 0.0,
+                )
+
+            update(sm, p_cols if quantized else None, True)
 
     @pl.when(ki == num_kv_blocks - 1)
     def _emit():
@@ -147,20 +224,17 @@ def _kernel(
 def _decode_kernel(
     lens_ref,  # scalar prefetch: [b] int32 kv lengths
     q_ref,     # [R, Mp, dp]
-    k_ref,     # [R, block_k, dp]
+    k_ref,     # [R, block_k, dp]  (int8 when quantized)
     v_ref,     # [R, block_k, dp]
-    o_ref,     # [R, Mp, dp]
-    lse_ref,   # [R, Mp, LANES]
-    m_scr,     # VMEM [R*Mp, LANES] f32
-    l_scr,     # VMEM [R*Mp, LANES] f32
-    acc_scr,   # VMEM [R*Mp, dp] f32
-    *,
+    *rest,     # [kscale_ref, vscale_ref (each [R, 1, block_k] f32)] when
+               # quantized, then o_ref, lse_ref, m_scr, l_scr, acc_scr
     hkv: int,
     rows: int,      # R: batch-rows per grid cell
     mp: int,        # padded M per row
     block_k: int,
     num_kv_blocks: int,
     scale: float,
+    quantized: bool = False,
 ):
     """Row-batched decode attention (non-causal, length-masked).
 
@@ -173,6 +247,11 @@ def _decode_kernel(
     bottleneck is DMA efficiency, not SM occupancy, so batching rows beats
     splitting K.
     """
+    if quantized:
+        kscale_ref, vscale_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+
     ki = pl.program_id(1)
     bi = pl.program_id(0)
 
@@ -192,10 +271,16 @@ def _decode_kernel(
     def _compute():
         q = q_ref[...].reshape(rows * mp, q_ref.shape[-1])
         k = k_ref[...].reshape(rows * block_k, k_ref.shape[-1])
+        if quantized:
+            k = k.astype(q.dtype)  # int8 values are exact in bf16
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [R*Mp, R*block_k]
         s = s * scale
+        if quantized:
+            # Per-token dequant scale, flattened to the score-column layout
+            # (block-diagonal: column c belongs to row c // block_k).
+            s = s * _flatten_rows_to_lanes(kscale_ref[:, 0], rows, block_k)
 
         mrows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -215,13 +300,25 @@ def _decode_kernel(
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        p = jnp.where(mask, p, 0.0)
+        # Clamped max: masked (NEG_INF) scores underflow exp to exactly 0,
+        # no second `where` pass needed (see NEG_CLAMP).
+        p = jnp.exp(s - jnp.maximum(m_next, NEG_CLAMP))
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
 
         v = v_ref[...].reshape(rows * block_k, v_ref.shape[-1])
+        if quantized:
+            v = v.astype(q.dtype)
+            vs = _flatten_rows_to_lanes(vscale_ref[:, 0], rows, block_k)
+            # Zero scales past each row's length (possible NaN padding in
+            # the final partial block; p==0 would not save 0*NaN).
+            vcols = jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
+            vsl = jnp.full_like(vcols, lens_by_r[0])
+            for r in range(1, rows):
+                vsl = jnp.where(vcols // block_k == r, lens_by_r[r], vsl)
+            vs = jnp.where(block_start + (vcols % block_k) < vsl, vs, 0.0)
+            p = p * vs
         vrows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         vri = vrows // block_k
         vlen = jnp.full_like(vri, lens_by_r[0])
@@ -261,12 +358,20 @@ def flash_attention_bhsd(
     block_m: int | None = None,
     block_k: int | None = None,
     interpret: bool | None = None,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ):
     """Flash attention in the canonical BHSD layout.
 
     Args / returns match ``ops.reference.attention_bhsd`` exactly (it is the
     oracle): q ``[b, hq, m, d]``, k/v ``[b, hkv, s, d]``; returns
     (out ``[b, hq, m, d]``, lse ``[b, hq, m]`` fp32).
+
+    ``k_scale``/``v_scale`` (``[b, hkv, s]`` f32) enable the quantized-KV
+    path: k/v hold int8 payloads and dequantization happens in-register
+    (the reference's in-kernel dequant pattern, xformers_stuff.py:431-530,
+    rebuilt for the TPU: scales ride their own small blocks and commute onto
+    score/probability columns instead of the payload). Halves KV HBM traffic.
     """
     b, hq, m, d = q.shape
     _, hkv, s, _ = k.shape
@@ -290,6 +395,9 @@ def flash_attention_bhsd(
         block_k = min(512, max(LANES, _round_up(min(s, 512), LANES)))
     num_kv_blocks = -(-s // block_k)
 
+    quantized = k_scale is not None
+    assert (k_scale is None) == (v_scale is None)
+
     qp = jnp.pad(qf, ((0, 0), (0, 0), (0, Mp - M), (0, dp - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
@@ -297,6 +405,12 @@ def flash_attention_bhsd(
     qp = qp.reshape(b * hkv, Mp, dp)
     kp = kp.reshape(b * hkv, s, dp)
     vp = vp.reshape(b * hkv, s, dp)
+    if quantized:
+        # The unit middle dim makes the block's last-two dims (1=full-dim,
+        # block_k) — the only Mosaic-legal way to ship a per-token scale
+        # *row* per grid cell without padding sublanes.
+        ks2 = k_scale.astype(jnp.float32).reshape(b * hkv, 1, s)
+        vs2 = v_scale.astype(jnp.float32).reshape(b * hkv, 1, s)
 
     if kv_seq_lens is None:
         lens = jnp.full((b,), s, dtype=jnp.int32)
@@ -317,6 +431,7 @@ def flash_attention_bhsd(
                 qf, k, v, lens, hkv=hkv, group=group, m=m, mp=mp_dec,
                 rows=R, block_k=bk_dec, dp=dp, d=d, scale=scale,
                 interpret=interpret,
+                scales=(ks2, vs2) if quantized else None,
             )
 
     # NB: in BlockSpec index maps, scalar-prefetch refs come AFTER the grid
@@ -324,7 +439,7 @@ def flash_attention_bhsd(
     def q_index(bh, mi, ki, lens_ref):
         return (bh, mi, 0)
 
-    def kv_index(bh, mi, ki, lens_ref):
+    def _last_block(bh, mi, lens_ref):
         # Clamp to the last in-bounds block: out-of-bounds grid steps re-map
         # to an already-fetched block => no DMA, and compute is skipped.
         limit = lens_ref[bh // hkv]
@@ -333,8 +448,14 @@ def flash_attention_bhsd(
             lo = mi * block_m
             hi = lo + block_m - 1
             max_qpos = jnp.where(lo // m == hi // m, hi % m, m - 1)
-            last = jnp.minimum(last, max_qpos // block_k)
-        return (bh, jnp.minimum(ki, last), 0)
+            last = jnp.minimum(last, (max_qpos + (s - m)) // block_k)
+        return last
+
+    def kv_index(bh, mi, ki, lens_ref):
+        return (bh, jnp.minimum(ki, _last_block(bh, mi, lens_ref)), 0)
+
+    def scale_index(bh, mi, ki, lens_ref):
+        return (bh, 0, jnp.minimum(ki, _last_block(bh, mi, lens_ref)))
 
     def out_index(bh, mi, ki, lens_ref):
         return (bh, mi, 0)
@@ -348,23 +469,34 @@ def flash_attention_bhsd(
         _kernel,
         hkv=hkv,
         q_len=m,
+        kv_len=s,
         block_m=block_m,
         block_k=block_k,
         num_kv_blocks=num_kv_blocks,
         causal=causal,
         scale=scale,
+        quantized=quantized,
     )
+
+    in_specs = [
+        pl.BlockSpec((1, block_m, dp), q_index),
+        pl.BlockSpec((1, block_k, dp), kv_index),
+        pl.BlockSpec((1, block_k, dp), kv_index),
+    ]
+    operands = [lens, qp, kp, vp]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, block_k), scale_index),
+            pl.BlockSpec((1, 1, block_k), scale_index),
+        ]
+        operands += [ks2, vs2]
 
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_m, dp), q_index),
-                pl.BlockSpec((1, block_k, dp), kv_index),
-                pl.BlockSpec((1, block_k, dp), kv_index),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, block_m, dp), out_index),
                 # lse is lane-broadcast to satisfy Mosaic's (8, 128) trailing
@@ -385,7 +517,7 @@ def flash_attention_bhsd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lens, qp, kp, vp)
+    )(*operands)
 
     out = out[:, :M, :d].reshape(b, hkv, group, m, d).reshape(b, hq, m, d)
     lse = lse[:, :M, 0].reshape(b, hkv, group, m).reshape(b, hq, m)
@@ -393,14 +525,18 @@ def flash_attention_bhsd(
 
 
 def _flash_decode_call(
-    qf, k, v, lens, *, hkv, group, m, mp, rows, block_k, dp, d, scale, interpret
+    qf, k, v, lens, *, hkv, group, m, mp, rows, block_k, dp, d, scale,
+    interpret, scales=None,
 ):
-    """Launch the row-batched decode kernel. qf: [b, hkv, M, d] folded q."""
+    """Launch the row-batched decode kernel. qf: [b, hkv, M, d] folded q.
+
+    ``scales``: (k_scale, v_scale) each ``[b*hkv, s]`` f32 for int8 KV."""
     b = qf.shape[0]
     M = qf.shape[2]
     s = k.shape[2]
     B = b * hkv
     num_kv_blocks = -(-s // block_k)
+    quantized = scales is not None
 
     qp = jnp.pad(qf, ((0, 0), (0, 0), (0, mp - M), (0, dp - d))).reshape(B, mp, dp)
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, dp - d))).reshape(B, s, dp)
@@ -409,12 +545,17 @@ def _flash_decode_call(
     def q_index(bi, ki, lens_ref):
         return (bi, 0, 0)
 
-    def kv_index(bi, ki, lens_ref):
+    def _last_block(bi, lens_ref):
         limit = lens_ref[(bi * rows) // hkv]
         for r in range(1, rows):
             limit = jnp.maximum(limit, lens_ref[(bi * rows + r) // hkv])
-        last = jnp.maximum((limit + block_k - 1) // block_k - 1, 0)
-        return (bi, jnp.minimum(ki, last), 0)
+        return jnp.maximum((limit + block_k - 1) // block_k - 1, 0)
+
+    def kv_index(bi, ki, lens_ref):
+        return (bi, jnp.minimum(ki, _last_block(bi, lens_ref)), 0)
+
+    def scale_index(bi, ki, lens_ref):
+        return (bi, 0, jnp.minimum(ki, _last_block(bi, lens_ref)))
 
     kernel = functools.partial(
         _decode_kernel,
@@ -424,18 +565,28 @@ def _flash_decode_call(
         block_k=block_k,
         num_kv_blocks=num_kv_blocks,
         scale=scale,
+        quantized=quantized,
     )
+
+    in_specs = [
+        pl.BlockSpec((rows, mp, dp), q_index),
+        pl.BlockSpec((rows, block_k, dp), kv_index),
+        pl.BlockSpec((rows, block_k, dp), kv_index),
+    ]
+    operands = [lens, qp, kp, vp]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((rows, 1, block_k), scale_index),
+            pl.BlockSpec((rows, 1, block_k), scale_index),
+        ]
+        operands += list(scales)
 
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B // rows, num_kv_blocks),
-            in_specs=[
-                pl.BlockSpec((rows, mp, dp), q_index),
-                pl.BlockSpec((rows, block_k, dp), kv_index),
-                pl.BlockSpec((rows, block_k, dp), kv_index),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((rows, mp, dp), q_index),
                 pl.BlockSpec((rows, mp, LANES), q_index),
@@ -454,7 +605,7 @@ def _flash_decode_call(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lens, qp, kp, vp)
+    )(*operands)
 
     hq = hkv * group
     out = out[:, :M, :d].reshape(b, hkv, group, m, d).reshape(b, hq, m, d)

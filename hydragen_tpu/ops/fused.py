@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+NEG_CLAMP = -1e30  # see ops/flash.py: exp-max clamp replaces the p-mask pass
 LANES = 128
 
 
@@ -61,11 +62,10 @@ def _fused_kernel(
     sv_ref,         # [1, 1, bk_s, dp]
     uk_ref,         # [Rc, 1, bk_u, dp]
     uv_ref,         # [Rc, 1, bk_u, dp]
-    ulens_ref,      # [Rc, 1] int32 (VMEM)
-    o_ref,          # [Rc, 1, Gm, dp]
-    lse_ref,        # [Rc, 1, Gm, LANES]
-    m_scr, l_scr, acc_scr,
-    *,
+    *rest,          # [sks, svs ([1,1,1,1,bk_s] f32), uks, uvs
+                    # ([1,Rc,1,1,bk_u])] when quantized, then ulens_ref
+                    # ([Rc,1] int32 VMEM), o_ref, lse_ref, m_scr, l_scr,
+                    # acc_scr
     hkv: int,
     sps: int,
     rc: int,
@@ -77,7 +77,14 @@ def _fused_kernel(
     s_len: int,
     u_len: int,
     scale: float,
+    quantized: bool = False,
 ):
+    if quantized:
+        (sks_ref, svs_ref, uks_ref, uvs_ref, ulens_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
+    else:
+        ulens_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+
     ch = pl.program_id(0)
     ki = pl.program_id(1)
     c = ch // hkv
@@ -89,19 +96,22 @@ def _fused_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    def online_update(s, mask, v):
-        # s: [mc, N] fp32 scores (pre-mask); v: [N, dp].
+    def online_update(s, mask, v, vcols=None):
+        # s: [mc, N] fp32 scores (pre-mask); v: [N, dp]; vcols: [1, N]
+        # per-column v dequant scales (already zeroed where invalid).
         s = jnp.where(mask, s * scale, NEG_INF)
         m_prev = m_scr[:, 0:1]
         l_prev = l_scr[:, 0:1]
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        p = jnp.where(mask, p, 0.0)
+        # Clamped max: masked (NEG_INF) scores underflow exp to exactly 0.
+        p = jnp.exp(s - jnp.maximum(m_next, NEG_CLAMP))
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        if vcols is not None:
+            p = p * vcols
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -118,15 +128,30 @@ def _fused_kernel(
     def _shared():
         q = q_ref[...].reshape(mc, q_ref.shape[-1])
         k = sk_ref[0, 0, 0]
+        if quantized:
+            k = k.astype(q.dtype)  # int8 values are exact in bf16
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [mc, bk_s]
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = ki * bk_s + cols < slimit
+        inb = ki * bk_s + cols < slimit
+        if quantized:
+            # Per-token k scale onto score columns; masked-out columns hit
+            # NEG_INF below so possible NaN padding is benign.
+            s = s * sks_ref[0, 0, 0]
+        mask = inb
         v = sv_ref[0, 0, 0]
+        vcols = None
+        if quantized:
+            v = v.astype(q.dtype)
+            vcols = svs_ref[0, 0, 0]
+            vcols = jnp.where(
+                ki * bk_s + jax.lax.broadcasted_iota(jnp.int32, vcols.shape, 1)
+                < slimit, vcols, 0.0,
+            )
         vrows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         v = jnp.where(ki * bk_s + vrows < s_len, v, jnp.zeros((), v.dtype))
-        online_update(s, mask, v)
+        online_update(s, mask, v, vcols)
 
     uki = ki - n_s
     ulimit = cmax_ref[c]
@@ -136,9 +161,15 @@ def _fused_kernel(
     def _unique():
         q = q_ref[...].reshape(mc, q_ref.shape[-1])
         k = uk_ref[0, :, 0].reshape(rc * bk_u, uk_ref.shape[-1])
+        if quantized:
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [mc, rc*bk_u]
+        if quantized:
+            from hydragen_tpu.ops.flash import _flatten_rows_to_lanes
+
+            s = s * _flatten_rows_to_lanes(uks_ref[0, :, 0, 0], rc, bk_u)
         mrows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         ri = mrows // gm          # chunk-local row of the query
@@ -162,6 +193,21 @@ def _fused_kernel(
         mask = jnp.logical_and(ri == rj, kpos.astype(jnp.float32) < own_len)
 
         v = uv_ref[0, :, 0].reshape(rc * bk_u, uv_ref.shape[-1])
+        vcols = None
+        if quantized:
+            from hydragen_tpu.ops.flash import _flatten_rows_to_lanes
+
+            v = v.astype(q.dtype)
+            vcols = _flatten_rows_to_lanes(uvs_ref[0, :, 0, 0], rc, bk_u)
+            # Per-column validity: col c belongs to chunk row c // bk_u with
+            # kv position uki*bk_u + c % bk_u; zero scales past that row's
+            # length (covers possible NaN padding past the array too).
+            ci = jax.lax.broadcasted_iota(jnp.int32, vcols.shape, 1)
+            lens_cols = _flatten_rows_to_lanes(
+                jnp.broadcast_to(ul2.astype(jnp.float32), (rc, bk_u)), rc, bk_u
+            )
+            vpos = (uki * bk_u + (ci % bk_u)).astype(jnp.float32)
+            vcols = jnp.where(vpos < lens_cols, vcols, 0.0)
         # Zero only rows beyond the *array* (unspecified padding of the last
         # block; may be NaN and 0*NaN would poison p@v). Rows within the
         # array but past a sequence's length hold finite stale values and are
@@ -169,7 +215,7 @@ def _fused_kernel(
         vrows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         in_array = uki * bk_u + (vrows % bk_u) < u_len
         v = jnp.where(in_array, v, jnp.zeros((), v.dtype))
-        online_update(s, mask, v)
+        online_update(s, mask, v, vcols)
 
     @pl.when(ki == n_s + n_u - 1)
     def _emit():
@@ -196,7 +242,13 @@ def _fused_call(
     block_k_shared: int | None,
     block_k_unique: int | None,
     interpret: bool | None,
+    shared_scales=None,   # (k_scale, v_scale) [L, sb, hkv, S] f32 for int8 KV
+    unique_scales=None,   # (k_scale, v_scale) [L, b, hkv, U] f32
 ):
+    quantized = shared_scales is not None
+    assert (shared_scales is None) == (unique_scales is None), (
+        "int8 KV quantization applies to the whole cache"
+    )
     b, hq, mq, d = q.shape
     _, sb, hkv, S, _ = shared_k.shape
     _, _, _, U, _ = unique_k.shape
@@ -262,25 +314,54 @@ def _fused_call(
     def ulens_index(ch, ki, li, sl, cm):
         return (ch // hkv, 0)
 
+    def sscale_index(ch, ki, li, sl, cm):
+        i = skv_index(ch, ki, li, sl, cm)
+        return (i[0], i[1], i[2], 0, i[3])
+
+    def uscale_index(ch, ki, li, sl, cm):
+        i = ukv_index(ch, ki, li, sl, cm)
+        return (i[0], i[1], i[2], 0, i[3])
+
     kernel = functools.partial(
         _fused_kernel,
         hkv=hkv, sps=sps, rc=rc, gm=gm, bk_s=bk_s, bk_u=bk_u,
         n_s=n_s, n_u=n_u, s_len=S, u_len=U, scale=scale,
+        quantized=quantized,
     )
+
+    in_specs = [
+        pl.BlockSpec((rc, 1, gm, dp), q_index),
+        pl.BlockSpec((1, 1, 1, bk_s, dp), skv_index),
+        pl.BlockSpec((1, 1, 1, bk_s, dp), skv_index),
+        pl.BlockSpec((1, rc, 1, bk_u, dp), ukv_index),
+        pl.BlockSpec((1, rc, 1, bk_u, dp), ukv_index),
+    ]
+    operands = [lidx, shared_lens, chunk_max, qp, shared_k, shared_v,
+                unique_k, unique_v]
+    if quantized:
+        # Unit dim before the token axis: the block's last-two dims become
+        # (1 = full-dim, bk) — the Mosaic-legal per-token scale row layout.
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, 1, bk_s), sscale_index),
+            pl.BlockSpec((1, 1, 1, 1, bk_s), sscale_index),
+            pl.BlockSpec((1, rc, 1, 1, bk_u), uscale_index),
+            pl.BlockSpec((1, rc, 1, 1, bk_u), uscale_index),
+        ]
+        operands += [
+            shared_scales[0].astype(jnp.float32)[:, :, :, None, :],
+            shared_scales[1].astype(jnp.float32)[:, :, :, None, :],
+            unique_scales[0].astype(jnp.float32)[:, :, :, None, :],
+            unique_scales[1].astype(jnp.float32)[:, :, :, None, :],
+        ]
+    in_specs.append(pl.BlockSpec((rc, 1), ulens_index))
+    operands.append(ul2)
 
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nchunks * hkv, n_s + n_u),
-            in_specs=[
-                pl.BlockSpec((rc, 1, gm, dp), q_index),
-                pl.BlockSpec((1, 1, 1, bk_s, dp), skv_index),
-                pl.BlockSpec((1, 1, 1, bk_s, dp), skv_index),
-                pl.BlockSpec((1, rc, 1, bk_u, dp), ukv_index),
-                pl.BlockSpec((1, rc, 1, bk_u, dp), ukv_index),
-                pl.BlockSpec((rc, 1), ulens_index),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((rc, 1, gm, dp), q_index),
                 pl.BlockSpec((rc, 1, gm, LANES), q_index),
@@ -299,7 +380,7 @@ def _fused_call(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lidx, shared_lens, chunk_max, qp, shared_k, shared_v, unique_k, unique_v, ul2)
+    )(*operands)
 
     out = out[..., :d].reshape(b, hq, mq, d)
     lse = lse[..., 0].reshape(b, hq, mq)
@@ -323,13 +404,20 @@ def fused_hydragen_decode_bhsd(
     block_k_shared: int | None = None,
     block_k_unique: int | None = None,
     interpret: bool | None = None,
+    shared_scales=None,
+    unique_scales=None,
 ):
-    """(out [b, hq, 1, d], lse [b, hq, 1] fp32) over shared ++ unique KV."""
+    """(out [b, hq, 1, d], lse [b, hq, 1] fp32) over shared ++ unique KV.
+
+    int8 KV: pass ``shared_scales``/``unique_scales`` as (k_scale, v_scale)
+    pairs ([sb, hkv, S] / [b, hkv, U] f32); payloads are then int8."""
+    addL = lambda pair: None if pair is None else (pair[0][None], pair[1][None])
     return _fused_call(
         jnp.zeros((1,), jnp.int32),
         q, shared_k[None], shared_v[None], shared_lens,
         unique_k[None], unique_v[None], unique_lens,
         scale, block_k_shared, block_k_unique, interpret,
+        addL(shared_scales), addL(unique_scales),
     )
 
 
@@ -345,6 +433,8 @@ def fused_hydragen_decode_cached(
     *,
     scale: float | None = None,
     interpret: bool | None = None,
+    shared_scales=None,   # (k_scale, v_scale) [L, sb, hkv, S] f32 for int8 KV
+    unique_scales=None,   # (k_scale, v_scale) [L, b, hkv, U] f32
 ):
     """Layer-indexed variant reading straight from the stacked KV caches.
 
@@ -353,10 +443,11 @@ def fused_hydragen_decode_cached(
     layer per step (XLA cannot fuse through the kernel boundary). This
     variant takes the *whole* cache plus the layer index as scalar prefetch:
     the BlockSpec index maps lead with the layer coordinate, so only the
-    blocks actually attended are ever DMA'd.
+    blocks actually attended are ever DMA'd. With int8 KV the payload blocks
+    are half the bytes and dequantization happens in-register.
     """
     return _fused_call(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
         q, shared_k, shared_v, shared_lens, unique_k, unique_v, unique_lens,
-        scale, None, None, interpret,
+        scale, None, None, interpret, shared_scales, unique_scales,
     )

@@ -52,6 +52,11 @@ def _pick_impl(impl: str | None) -> str:
 def _attention(q, k, v, *, causal, kv_seq_lens, impl):
     """Dispatch a single BHSD (out, lse) attention to the selected backend.
 
+    ``k``/``v`` may each be an ``(int8 payload, f32 scale)`` pair for a
+    quantized KV source: the Pallas kernels dequantize in-register (halved
+    KV bandwidth); the XLA path dequantizes up front and lets the compiler
+    fuse the convert+multiply into the attention einsum's operand read.
+
     ``impl="auto"`` picks per call site from the (static) shapes: the Pallas
     kernels win when the score matrix is large (long-prefix prefill — 1.7x
     measured at M=4096, S=16K on v5e) because XLA materializes masked fp32
@@ -59,15 +64,25 @@ def _attention(q, k, v, *, causal, kv_seq_lens, impl):
     matvec-softmax chain is faster than a grid of small kernel blocks, so
     small calls go to XLA.
     """
+    k, ks = k if isinstance(k, tuple) else (k, None)
+    v, vs = v if isinstance(v, tuple) else (v, None)
     if impl in ("auto", "fused"):  # "fused" only changes the decode layer path
         M, s = q.shape[2], k.shape[2]
         impl = "pallas" if (M >= 256 and s >= 1024) else "xla"
     if impl == "xla":
+        if ks is not None:
+            from hydragen_tpu.ops.quant import dequantize_kv
+
+            k = dequantize_kv(k, ks, q.dtype)
+            v = dequantize_kv(v, vs, q.dtype)
         return attention_bhsd(q, k, v, causal=causal, kv_seq_lens=kv_seq_lens)
     elif impl == "pallas":
         from hydragen_tpu.ops.flash import flash_attention_bhsd
 
-        return flash_attention_bhsd(q, k, v, causal=causal, kv_seq_lens=kv_seq_lens)
+        return flash_attention_bhsd(
+            q, k, v, causal=causal, kv_seq_lens=kv_seq_lens,
+            k_scale=ks, v_scale=vs,
+        )
     else:
         raise ValueError(f"unknown attention impl {impl!r}")
 

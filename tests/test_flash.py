@@ -43,6 +43,8 @@ CASES = [
     (2, 2, 2, 7, 200, 128, False, True),      # tall kv, ragged
     (4, 8, 2, 1, 512, 128, False, True),      # realistic decode shape
     (1, 2, 1, 130, 130, 64, True, False),     # causal crossing block_m
+    (2, 4, 2, 64, 200, 32, True, False),      # causal s > m (end-aligned)
+    (2, 4, 2, 96, 40, 32, True, False),       # causal s < m (masked rows)
 ]
 
 
