@@ -2,14 +2,19 @@
 
 Mirrors the reference's synthetic e2e protocol
 (/root/reference/scripts/synth.py:36-115: one shared prompt, ``bs`` completions,
-mode "hydragen" vs "hydragen_noshared") at a scale that fits one chip.
+mode "hydragen" vs "hydragen_noshared") at the BASELINE.md north-star config:
+Llama-2-7B, INT8 weights + INT8 KV, 2048-token shared prefix, 256 completions.
 
 Prints ONE JSON line: value = hydragen decode throughput (tok/s);
 vs_baseline = speedup over the disable_hydragen (plain flash-attention)
-baseline computing the identical function.
+baseline computing the identical function. The baseline's batch is halved
+until its per-row prefix copy fits HBM (at the north-star scale the
+no-sharing KV would need ~140 GB — not fitting IS the result the paper
+reports; the baseline therefore runs at its own best feasible batch).
 
-Env overrides: HYDRAGEN_BENCH_BS, HYDRAGEN_BENCH_SHARED, HYDRAGEN_BENCH_NEW,
-HYDRAGEN_BENCH_QUANT=int8.
+Env overrides: HYDRAGEN_BENCH_MODEL (preset name), HYDRAGEN_BENCH_BS,
+HYDRAGEN_BENCH_SHARED, HYDRAGEN_BENCH_NEW, HYDRAGEN_BENCH_QUANT=int8|none,
+HYDRAGEN_BENCH_KV=int8 (default; "" for bf16 KV).
 """
 
 from __future__ import annotations
@@ -27,17 +32,42 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 
 from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
-from hydragen_tpu.models.config import PRESETS
+from hydragen_tpu.models.config import PRESETS, ModelConfig
 from hydragen_tpu.models.llama import init_params
 from hydragen_tpu.utils.timing import timed
+
+HBM_BYTES = 15.2e9  # v5e: 16 GB minus runtime/program/activation headroom
+
+
+def param_bytes(cfg: ModelConfig, quantized: bool) -> int:
+    per_layer = (
+        4 * cfg.hidden_size * cfg.hidden_size
+        + 3 * cfg.hidden_size * cfg.intermediate_size
+    )
+    body = per_layer * cfg.num_hidden_layers + cfg.hidden_size * cfg.vocab_size
+    embed = cfg.vocab_size * cfg.hidden_size * 2  # bf16 (gather table)
+    return body * (1 if quantized else 2) + embed
+
+
+def cache_bytes(cfg: ModelConfig, bs: int, unique_len: int, shared_len: int,
+                kv_int8: bool) -> int:
+    per_tok = cfg.num_key_value_heads * cfg.head_dim * 2  # k + v
+    tokens = bs * unique_len + shared_len
+    payload = cfg.num_hidden_layers * tokens * per_tok
+    if kv_int8:
+        return payload + cfg.num_hidden_layers * tokens * cfg.num_key_value_heads * 2 * 4
+    return payload * 2
 
 
 def run_config(engine, prompt, bs, new_tokens, disable_hydragen, iters=3,
                kv_quant=None):
     shared_len = prompt.shape[1]
-    unique_len = new_tokens + 8
+    # Decode writes slots [0, new_tokens-1); no unique suffix in this
+    # protocol, so new_tokens slots exactly suffice (HBM is the binding
+    # constraint at the 7B/bs256 north star).
+    unique_len = new_tokens
     if disable_hydragen:
-        unique_len += shared_len
+        unique_len += shared_len + 8
     engine.setup_caches(
         max_unique_batch_size=bs,
         max_unique_seq_length=unique_len,
@@ -57,37 +87,58 @@ def run_config(engine, prompt, bs, new_tokens, disable_hydragen, iters=3,
         )
 
     times, _ = timed(gen, num_iters=iters, num_warmup=2)
+    engine.cache = None  # free before the next allocation
     return bs * new_tokens / min(times)
 
 
 def main():
-    bs = int(os.environ.get("HYDRAGEN_BENCH_BS", "32"))
-    shared_len = int(os.environ.get("HYDRAGEN_BENCH_SHARED", "1024"))
+    model = os.environ.get("HYDRAGEN_BENCH_MODEL", "llama-2-7b")
+    bs = int(os.environ.get("HYDRAGEN_BENCH_BS", "256"))
+    shared_len = int(os.environ.get("HYDRAGEN_BENCH_SHARED", "2048"))
     new_tokens = int(os.environ.get("HYDRAGEN_BENCH_NEW", "64"))
 
-    # North-star config (BASELINE.md): INT8 weights. "none" reverts to bf16.
+    # North-star config (BASELINE.md): INT8 weights + INT8 KV.
     quant = os.environ.get("HYDRAGEN_BENCH_QUANT", "int8")
     quant = None if quant in ("", "none") else quant
-    kv_quant = os.environ.get("HYDRAGEN_BENCH_KV") or None
+    kv_quant = os.environ.get("HYDRAGEN_BENCH_KV", "int8") or None
 
-    cfg = PRESETS["sheared-llama-1.3b"]
-    params = init_params(cfg, jax.random.PRNGKey(0))
+    cfg = PRESETS[model]
+    # Random weights, quantized at init: timing is weight-value independent
+    # and a 7B bf16 original would not fit beside its int8 copy in 16 GB.
+    params = init_params(cfg, jax.random.PRNGKey(0), quantized=quant == "int8")
     engine = HydragenLlama(cfg, params, quantization=quant)
 
     rng = np.random.RandomState(0)
     prompt = rng.randint(1, cfg.vocab_size, size=(1, shared_len)).astype(np.int32)
 
+    budget = HBM_BYTES - param_bytes(cfg, quant == "int8")
+    assert cache_bytes(cfg, bs, new_tokens, shared_len, kv_quant == "int8") < budget, (
+        "hydragen config does not fit HBM; lower HYDRAGEN_BENCH_BS/NEW"
+    )
     tput = run_config(engine, prompt, bs, new_tokens, disable_hydragen=False,
                       kv_quant=kv_quant)
-    base = run_config(engine, prompt, bs, new_tokens, disable_hydragen=True,
+
+    # No-sharing baseline: the prefix is copied into every row's cache, so
+    # halve its batch until the copies fit (reference synth.py's noshared
+    # mode OOMs the same way at paper scale).
+    base_bs = bs
+    while base_bs > 1 and cache_bytes(
+        cfg, base_bs, new_tokens + shared_len + 8, shared_len, kv_quant == "int8"
+    ) > budget:
+        base_bs //= 2
+    base = run_config(engine, prompt, base_bs, new_tokens, disable_hydragen=True,
                       kv_quant=kv_quant)
 
     tag = quant or "bf16"
+    if kv_quant:
+        tag += "+kv" + kv_quant
     print(json.dumps({
-        "metric": "decode_throughput_1.3b_%s_bs%d_shared%d" % (tag, bs, shared_len),
+        "metric": "decode_throughput_%s_%s_bs%d_shared%d"
+        % (model, tag, bs, shared_len),
         "value": round(tput, 1),
         "unit": "tok/s",
         "vs_baseline": round(tput / base, 3),
+        "baseline_bs": base_bs,
     }))
 
 

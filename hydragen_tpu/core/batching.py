@@ -9,16 +9,31 @@ never touched.
 
 Design (static shapes throughout, one jit specialization per prompt bucket):
 
-- The unique cache's ``B`` rows form a slot pool. Admission prefills one
-  request's suffix into a free row (``row_start``-targeted block write) and
-  seeds its first token from the prefill logits.
+- **Ring-slot KV pool.** The unique cache's ``U`` positions are a ring
+  addressed by a single *global* cursor shared by every row: at global step
+  ``g`` every row's new KV lands in slot ``g % U`` — one contiguous
+  ``dynamic_update_slice`` per step, never a per-row scatter (a TPU scatter
+  at ragged per-row positions rewrites whole (seq, head_dim) tiles; it was
+  the dominant cost of the previous per-row-position design).
+- A row's valid tokens form the absolute window ``[start_r, g)`` — wrapped
+  into slot space it is not a prefix, so unique-cache attention masks with a
+  per-row boolean ``kv_mask`` built once per step (``[B, U]``, trivial VPU
+  work) instead of ``kv_seq_lens``.
+- **Admission** prefills one request's suffix and scatters its KV
+  *right-aligned* to slots ``[(g - p) % U, g % U)`` (out-of-bucket padding
+  indices are dropped), so the window stays contiguous with the decode
+  tokens that follow. Admission is one dispatch per (prompt-bucket, K-bucket)
+  group; the occasional scatter is fine off the hot path.
 - ``decode_chunk`` advances ALL rows by ``K`` scanned steps; inactive rows
-  compute garbage (static shapes beat dynamic batch reshapes on TPU) but
-  their writes land at their frozen position in a dead row, and eos/budget
-  masking retires rows exactly.
-- The host loop admits from the queue between chunks and collects finished
-  sequences — the classic iteration-level scheduling loop, one jitted
-  program per (bucket, chunk) shape.
+  compute garbage into their own dead slots, and eos/budget masking retires
+  rows exactly. The host loop admits between chunks and collects finished
+  sequences — iteration-level scheduling, one jitted program per
+  (bucket, chunk) shape.
+
+Ring safety: a row's window length is at most ``prompt + max_new_tokens``
+(checked at submit) and every row's window advances with the global cursor,
+so the slot overwritten at step ``g`` (abs ``g - U``) is never inside any
+active row's window.
 
 Requires every active shared level to have batch size 1 (one shared context
 stack per pool — the standard serving setup this subsystem targets).
@@ -34,21 +49,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hydragen_tpu.core.cache import (
-    shared_len_for_batch,
-    update_unique_decode,
-    update_unique_prefill,
-)
+from hydragen_tpu.core.cache import shared_len_for_batch
 from hydragen_tpu.core.engine import HydragenLlama, sample_from_logits
 from hydragen_tpu.models.llama import logits_from_hidden, model_forward
 
 
 class BatchState(NamedTuple):
     cur_token: jax.Array   # [B, 1] int32 — next input token per row
-    pos: jax.Array         # [B] int32 — global position of cur_token
-    upos: jax.Array        # [B] int32 — unique-cache position of cur_token
+    pos: jax.Array         # [B] int32 — RoPE position of cur_token
+    start: jax.Array       # [B] int32 — absolute index of first valid token
     remaining: jax.Array   # [B] int32 — tokens left to generate
     active: jax.Array      # [B] bool
+    cursor: jax.Array      # [] int32 — global absolute write index
+
+
+def ring_mask(start: jax.Array, cursor: jax.Array, U: int) -> jax.Array:
+    """[B, U] validity of each ring slot for each row.
+
+    Slot ``s`` last held the token of absolute step
+    ``a(s) = cursor-1 - ((cursor-1-s) mod U)``; it is valid for row ``r``
+    iff ``a(s) >= start_r`` (never-written slots get ``a < 0``).
+    """
+    s = jnp.arange(U, dtype=jnp.int32)[None, :]
+    a = (cursor - 1) - jnp.mod(cursor - 1 - s, U)
+    return a >= start[:, None]
 
 
 @partial(
@@ -60,36 +84,69 @@ def _admit_step(
     params, cache, state, input_ids, seq_lens, rows, max_news, rng,
     cfg, spec, temperature, top_p,
 ):
-    """Prefill K requests' suffixes into their unique-cache rows, sample
-    their first tokens and write the rows' decode state — ONE dispatch per
+    """Prefill K requests' suffixes into their rows' ring slots, sample their
+    first tokens and write the rows' decode state — ONE dispatch per
     admission round (per-request host round-trips would dominate the
     scheduler; per-request dispatches still cost ~10-20 ms each on a
     tunnel-attached device).
 
     input_ids: ``[K, tb]`` right-padded; seq_lens/rows/max_news: ``[K]``.
     Rows may repeat (K is padded to a bucket by repeating an entry — the
-    duplicate writes are idempotent).
+    later duplicate wins and writes are identical, so rewrites are benign).
     """
     K, t = input_ids.shape
+    U = cache.max_unique_seq_len
+    cursor = state.cursor
     shared_lens = shared_len_for_batch(
         cache, spec.num_used_levels, K, spec.level_batch or None
     )
     local_pos = jnp.minimum(jnp.arange(t)[None, :], seq_lens[:, None] - 1)
     pos = shared_lens[:, None] + local_pos
     hidden, nk, nv = model_forward(params, cfg, cache, input_ids, pos, local_pos, spec)
-    for i in range(K):  # K is static and small; block writes per row slot
-        cache = update_unique_prefill(
-            cache, nk[:, i : i + 1], nv[:, i : i + 1], start=0, row_start=rows[i]
+
+    # Right-aligned ring scatter: request i's valid token j (j < p_i) lands
+    # in slot (cursor - p_i + j) mod U; padding columns are sent out of
+    # bounds and dropped.
+    j = jnp.arange(t, dtype=jnp.int32)[None, :]
+    slots = jnp.mod(cursor - seq_lens[:, None] + j, U)
+    slots = jnp.where(j < seq_lens[:, None], slots, U)  # OOB => dropped
+
+    from hydragen_tpu.ops.quant import quantize_kv
+
+    def scatter_kv(buf, val, scale_buf, pay_scale):
+        # buf [L, B, hkv, U, hd]; val [L, K, hkv, t, hd]. Advanced indices
+        # (rows [K,1], slots [K,t]) land in front: value [K, t, L, hkv, hd].
+        value = val.transpose(1, 3, 0, 2, 4)
+        buf = buf.at[:, rows[:, None], :, slots].set(
+            value.astype(buf.dtype), mode="drop"
         )
+        if scale_buf is None:
+            return buf, None
+        sval = pay_scale.transpose(1, 3, 0, 2)
+        scale_buf = scale_buf.at[:, rows[:, None], :, slots].set(sval, mode="drop")
+        return buf, scale_buf
+
+    if cache.quantized:
+        nkq, nks = quantize_kv(nk)
+        nvq, nvs = quantize_kv(nv)
+    else:
+        nkq, nks, nvq, nvs = nk, None, nv, None
+    uk, uks = scatter_kv(cache.unique_k, nkq, cache.unique_k_scale, nks)
+    uv, uvs = scatter_kv(cache.unique_v, nvq, cache.unique_v_scale, nvs)
+    cache = cache._replace(
+        unique_k=uk, unique_v=uv, unique_k_scale=uks, unique_v_scale=uvs
+    )
+
     logits = logits_from_hidden(params, cfg, hidden, seq_lens)
     first = sample_from_logits(logits[:, -1], rng, temperature, top_p, 1)
 
     state = BatchState(
         cur_token=state.cur_token.at[rows].set(first),
         pos=state.pos.at[rows].set(shared_lens + seq_lens),
-        upos=state.upos.at[rows].set(seq_lens),
+        start=state.start.at[rows].set(cursor - seq_lens),
         remaining=state.remaining.at[rows].set(max_news - 1),
         active=state.active.at[rows].set(max_news > 1),
+        cursor=cursor,
     )
     return state, cache
 
@@ -102,15 +159,21 @@ def _admit_step(
 def _decode_chunk(
     params, cache, state, rng, cfg, spec, steps, temperature, top_p, eos
 ):
-    """Advance every row by ``steps`` tokens (scanned; inactive rows masked)."""
+    """Advance every row by ``steps`` tokens (scanned; inactive rows masked).
+
+    Every row writes slot ``cursor % U`` each step — one uniform
+    ``dynamic_update_slice``; validity is the per-row ring window mask."""
+    U = cache.max_unique_seq_len
 
     def step(carry, _):
         cache, st, rng = carry
-        hidden, nk, nv = model_forward(
-            params, cfg, cache, st.cur_token, st.pos[:, None],
-            st.upos[:, None], spec, history_lens=st.upos,
+        mask = ring_mask(st.start, st.cursor, U)
+        slot = jnp.mod(st.cursor, U).astype(jnp.int32)
+        upos = jnp.broadcast_to(slot, st.pos.shape)[:, None]
+        hidden, cache = model_forward(
+            params, cfg, cache, st.cur_token, st.pos[:, None], upos,
+            spec, history_mask=mask, inplace_slot=slot,
         )
-        cache = update_unique_decode(cache, st.upos, nk, nv, uniform=False)
         logits = logits_from_hidden(params, cfg, hidden)[:, 0]
         rng, sub = jax.random.split(rng)
         nxt = sample_from_logits(logits, sub, temperature, top_p, 1)[:, 0]
@@ -121,9 +184,12 @@ def _decode_chunk(
         st2 = BatchState(
             cur_token=jnp.where(st.active[:, None], nxt[:, None], st.cur_token),
             pos=st.pos + adv,
-            upos=st.upos + adv,
+            # Inactive rows' windows slide with the cursor so their stale
+            # slots age out instead of accumulating garbage in the mask.
+            start=jnp.where(st.active, st.start, st.start + 1),
             remaining=st.remaining - adv,
             active=new_active,
+            cursor=st.cursor + 1,
         )
         return (cache, st2, rng), emitted
 
@@ -179,12 +245,16 @@ class ContinuousBatcher:
 
         B = engine.cache.max_unique_batch_size
         self.B = B
+        self.U = engine.cache.max_unique_seq_len
+        # cursor starts at U so "never written" (a < 0 in ring_mask) slots
+        # stay invalid without special-casing the warm-up lap.
         self.state = BatchState(
             cur_token=jnp.zeros((B, 1), jnp.int32),
             pos=jnp.zeros((B,), jnp.int32),
-            upos=jnp.zeros((B,), jnp.int32),
+            start=jnp.full((B,), self.U, jnp.int32),
             remaining=jnp.zeros((B,), jnp.int32),
             active=jnp.zeros((B,), bool),
+            cursor=jnp.int32(self.U),
         )
         self._queue: List[_Request] = []
         self._rows: Dict[int, Optional[_Request]] = {r: None for r in range(B)}
@@ -199,10 +269,9 @@ class ContinuousBatcher:
 
     def submit(self, ids, max_new_tokens: int = 32) -> int:
         ids = np.asarray(ids, dtype=np.int32).reshape(-1)
-        max_len = self.engine.cache.max_unique_seq_len
-        assert ids.size + max_new_tokens <= max_len, (
-            f"request needs {ids.size + max_new_tokens} unique positions, "
-            f"cache rows hold {max_len}"
+        assert ids.size + max_new_tokens <= self.U, (
+            f"request needs {ids.size + max_new_tokens} ring slots, "
+            f"the pool holds {self.U}"
         )
         rid = self._next_rid
         self._next_rid += 1
@@ -218,7 +287,7 @@ class ContinuousBatcher:
         """Admit [(row, req), ...] — one dispatch per (prompt-bucket, K-bucket).
 
         Requests are grouped by padded prompt width; each group's K is padded
-        to a power of two by repeating its first entry (idempotent rewrites)
+        to a power of two by repeating its first entry (identical rewrites)
         so the jit cache holds O(log B x #buckets) programs, not one per K.
         No host readbacks: first tokens are collected at the next chunk sync
         (a first-token eos wastes one row's chunk budget — rare, cheaper than
@@ -227,12 +296,9 @@ class ContinuousBatcher:
         eng = self.engine
         spec = eng._spec("unique_prefill", unique_history=False)
         groups: Dict[int, List] = {}
-        max_width = eng.cache.max_unique_seq_len
         for row, req in pairs:
             tb = -(-max(1, len(req.ids)) // self.bucket) * self.bucket
-            # A prompt that fits the row (submit() checks ids+budget <= width)
-            # may bucket past the row width; clamp so the block write fits.
-            tb = min(tb, max_width)
+            tb = min(tb, self.U)
             groups.setdefault(tb, []).append((row, req))
 
         for tb, members in groups.items():

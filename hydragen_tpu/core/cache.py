@@ -272,6 +272,28 @@ def update_unique_decode(
     )
 
 
+def write_decode_token_layer(
+    cache: KVCache, layer: int, k: jax.Array, v: jax.Array, slot: jax.Array
+) -> KVCache:
+    """Write ONE layer's single decode token at a uniform ``slot``.
+
+    k, v: ``[b, hkv, 1, hd]``. Used by the in-place decode path
+    (models/llama.py): writing inside the (unrolled) layer loop avoids ever
+    materializing the stacked ``[L, b, hkv, 1, hd]`` new-KV array — profiling
+    the 7B decode step showed the stack + relayout + whole-cache
+    dynamic-update-slice chain costing >15 ms/step at batch 256.
+    """
+    kq, ks = _maybe_quantize(k, cache.quantized)
+    vq, vs = _maybe_quantize(v, cache.quantized)
+    idx = (layer, 0, 0, slot, 0)
+    return cache._replace(
+        unique_k=_block_update(cache.unique_k, kq[None], idx),
+        unique_v=_block_update(cache.unique_v, vq[None], idx),
+        unique_k_scale=None if ks is None else _block_update(cache.unique_k_scale, ks[None], idx[:4]),
+        unique_v_scale=None if vs is None else _block_update(cache.unique_v_scale, vs[None], idx[:4]),
+    )
+
+
 def repeat_unique_for_samples(
     cache: KVCache, current_size: int, num_samples: int
 ) -> KVCache:

@@ -176,11 +176,23 @@ def _decode_steps(
         override = xs
         pos = (start_pos + i)[:, None]
         upos = start_unique_pos + i
-        hidden, nk, nv = model_forward(
-            params, cfg, cache, tok, pos, upos[:, None], spec,
-            history_lens=upos,
-        )
-        cache = update_unique_decode(cache, upos, nk, nv, uniform=uniform_pos)
+        # All rows share the slot: the in-place path writes each layer's
+        # token inside the (unrolled) forward — no stacked new-KV array, no
+        # relayout, no whole-cache update (see model_forward). The
+        # disable_hydragen ablation keeps the scanned path: its rows carry
+        # the full copied prefix, and the unrolled loop's per-layer dequant
+        # transients exceed HBM at ablation-scale row widths.
+        if uniform_pos and not spec.disable_hydragen:
+            hidden, cache = model_forward(
+                params, cfg, cache, tok, pos, upos[:, None], spec,
+                history_lens=upos, inplace_slot=upos[0],
+            )
+        else:
+            hidden, nk, nv = model_forward(
+                params, cfg, cache, tok, pos, upos[:, None], spec,
+                history_lens=upos,
+            )
+            cache = update_unique_decode(cache, upos, nk, nv, uniform=False)
         logits = logits_from_hidden(params, cfg, hidden)[:, 0]
         rng, sub = jax.random.split(rng)
         nxt = sample_from_logits(logits, sub, temperature, top_p, 1)

@@ -419,6 +419,10 @@ def flash_attention_bhsd(
 
     # Decode shapes (tiny M, per-row KV) use the row-batched kernel: the
     # per-(row, head) grid of the generic kernel starves the DMA pipeline.
+    # (NB: at M <= 8 and large b*hkv the XLA commuted-scale path in
+    # ops/reference.py beats both Pallas decode forms — a per-(row, query)
+    # matvec kernel was tried and lost 10x to its serialized inner loop —
+    # so impl="auto" routes those shapes to XLA, not here.)
     if not causal and M <= 32:
         B = b * hkv
         R = next((r for r in (16, 8, 4, 2, 1) if B % r == 0), 1)

@@ -49,7 +49,7 @@ def _pick_impl(impl: str | None) -> str:
     return "xla"
 
 
-def _attention(q, k, v, *, causal, kv_seq_lens, impl):
+def _attention(q, k, v, *, causal, kv_seq_lens, impl, kv_mask=None):
     """Dispatch a single BHSD (out, lse) attention to the selected backend.
 
     ``k``/``v`` may each be an ``(int8 payload, f32 scale)`` pair for a
@@ -66,16 +66,16 @@ def _attention(q, k, v, *, causal, kv_seq_lens, impl):
     """
     k, ks = k if isinstance(k, tuple) else (k, None)
     v, vs = v if isinstance(v, tuple) else (v, None)
-    if impl in ("auto", "fused"):  # "fused" only changes the decode layer path
+    if kv_mask is not None:
+        impl = "xla"  # arbitrary masks only on the XLA path (decode-scale M)
+    elif impl in ("auto", "fused"):  # "fused" only changes the decode layer path
         M, s = q.shape[2], k.shape[2]
         impl = "pallas" if (M >= 256 and s >= 1024) else "xla"
     if impl == "xla":
-        if ks is not None:
-            from hydragen_tpu.ops.quant import dequantize_kv
-
-            k = dequantize_kv(k, ks, q.dtype)
-            v = dequantize_kv(v, vs, q.dtype)
-        return attention_bhsd(q, k, v, causal=causal, kv_seq_lens=kv_seq_lens)
+        return attention_bhsd(
+            q, k, v, causal=causal, kv_seq_lens=kv_seq_lens, kv_mask=kv_mask,
+            k_scale=ks, v_scale=vs,
+        )
     elif impl == "pallas":
         from hydragen_tpu.ops.flash import flash_attention_bhsd
 

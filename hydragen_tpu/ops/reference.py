@@ -43,6 +43,9 @@ def attention_bhsd(
     causal: bool = False,
     kv_seq_lens: jax.Array | None = None,
     scale: float | None = None,
+    kv_mask: jax.Array | None = None,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ):
     """Canonical-layout attention returning ``(out, lse)``.
 
@@ -55,6 +58,15 @@ def attention_bhsd(
             ``j <= i + (s - m)`` (diagonal aligned to the end).
         kv_seq_lens: optional ``[b]`` int; kv positions ``>= len`` masked.
         scale: softmax scale, default ``1/sqrt(d)``.
+        kv_mask: optional ``[b, s]`` bool; False positions masked. Used by
+            the ring-slot continuous-batching pool, whose valid tokens form
+            a wrapped window rather than a prefix (core/batching.py).
+        k_scale, v_scale: optional ``[b, hkv, s]`` f32 — k/v hold int8
+            payloads. The per-token scales commute out of both dots (onto
+            score and probability columns), so the payload feeds the einsum
+            through a bare convert — which XLA fuses into the dot operand —
+            and no dequantized bf16 copy is ever materialized in HBM
+            (measured 3x on the decode unique-cache read at 7B bs256).
 
     Returns:
         out ``[b, hq, m, d]`` (q.dtype), lse ``[b, hq, m]`` (float32) =
@@ -69,12 +81,15 @@ def attention_bhsd(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
+    assert (k_scale is None) == (v_scale is None)
     qf = q.astype(jnp.float32) * scale
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
 
     qg = qf.reshape(b, hkv, group, m, d)
     scores = jnp.einsum("bkgmd,bksd->bkgms", qg, kf)  # [b, hkv, grp, m, s]
+    if k_scale is not None:
+        scores = scores * k_scale.astype(jnp.float32)[:, :, None, None, :]
 
     mask = jnp.ones((b, 1, 1, m, s), dtype=bool)
     if causal:
@@ -84,6 +99,8 @@ def attention_bhsd(
     if kv_seq_lens is not None:
         kpos = jnp.arange(s)
         mask = mask & (kpos[None, :] < kv_seq_lens[:, None])[:, None, None, None]
+    if kv_mask is not None:
+        mask = mask & kv_mask[:, None, None, None, :]
 
     scores = jnp.where(mask, scores, MASK_VALUE)
 
@@ -94,7 +111,10 @@ def attention_bhsd(
     l = jnp.sum(p, axis=-1, keepdims=True)
     l_safe = jnp.where(l == 0.0, 1.0, l)
 
-    o = jnp.einsum("bkgms,bksd->bkgmd", p / l_safe, vf)
+    pn = p / l_safe
+    if v_scale is not None:
+        pn = pn * v_scale.astype(jnp.float32)[:, :, None, None, :]
+    o = jnp.einsum("bkgms,bksd->bkgmd", pn, vf)
     out = o.reshape(b, hq, m, d).astype(q.dtype)
 
     lse = m_safe[..., 0] + jnp.log(l_safe[..., 0])  # [b, hkv, grp, m]

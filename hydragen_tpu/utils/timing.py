@@ -55,8 +55,16 @@ def timed_scanned(
                 a = list(args)
                 a[perturb_idx] = a[perturb_idx] + eps
                 out = op(*a)
-                leaf = jax.tree.leaves(out)[0]
-                return carry + leaf.astype(jnp.float32).ravel()[0], None
+                # Consume EVERY output element: folding only out[0] into the
+                # carry lets XLA dead-code-eliminate most of a fused op (a
+                # matmul collapses to one dot-product row), reporting absurd
+                # rates. A full reduce forces materialization; its own cost
+                # appears in both the 1x and Nx runs and cancels.
+                acc = carry
+                for leaf in jax.tree.leaves(out):
+                    if leaf.size:
+                        acc = acc + jnp.sum(leaf.astype(jnp.float32))
+                return acc, None
 
             s, _ = jax.lax.scan(body, jnp.float32(0), epss)
             return s

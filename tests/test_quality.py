@@ -1,0 +1,66 @@
+"""Quantization quality gate (BASELINE.md: perplexity within 0.1; logit KL).
+
+CPU-scale version of scripts/quality.py — the per-token KL and perplexity
+delta between a model and its int8-quantized copy must sit within the
+BASELINE bound. scripts/quality.py runs the same gate at 1.3B on TPU."""
+
+import numpy as np
+
+import tests.conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from hydragen_tpu.models.config import ModelConfig
+
+CFG = ModelConfig(
+    vocab_size=512,
+    hidden_size=128,
+    intermediate_size=256,
+    num_hidden_layers=4,
+    num_attention_heads=8,
+    num_key_value_heads=4,
+    dtype="float32",
+)
+
+
+def test_int8_quality_gate():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from quality import run
+
+    m = run(CFG, tokens=128, batch=2)
+    # BASELINE "perplexity within 0.1", scale-free: |delta ce| < 0.015 nats
+    # (== 0.1 ppl at a real model's ppl ~7; see scripts/quality.py).
+    assert m["ce_delta_nats"] < 0.015, m
+    assert m["mean_kl_nats"] < 5e-3, m
+
+
+def test_int8_kv_quality_gate():
+    """int8 KV cache: same gate, quantizing the cache instead of weights."""
+    from hydragen_tpu.core.engine import HydragenLlama
+    from hydragen_tpu.models.llama import init_params
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, 512, size=(1, 32)).astype(np.int32)
+    suffix = rng.randint(1, 512, size=(2, 8)).astype(np.int32)
+
+    def logits_with(kv_quant):
+        eng = HydragenLlama(CFG, params, prefill_bucket=0)
+        eng.setup_caches(2, 32, [1], [32], kv_quant=kv_quant)
+        eng.append_shared(prompt)
+        _, logits = eng.generate(
+            input_ids=[suffix], max_new_tokens=8, temperature=0.0,
+            return_logits=True,
+        )
+        return jnp.stack(logits, axis=1).astype(jnp.float32)
+
+    hi = logits_with(None)
+    lo = logits_with("int8")
+    lp_hi = jax.nn.log_softmax(hi, axis=-1)
+    lp_lo = jax.nn.log_softmax(lo, axis=-1)
+    kl = float(jnp.sum(jnp.exp(lp_hi) * (lp_hi - lp_lo), axis=-1).mean())
+    assert kl < 5e-3, kl
