@@ -567,7 +567,26 @@ class HydragenLlama:
                     self.cache, total_batch, self.level_batch[0]
                 )
 
+        suffix_uniform = suffix_lens is None  # before bucketing pads
         if suffix_ids is not None:
+            # Bucket the suffix width like append_shared does: unique-prefill
+            # programs are keyed on t, so e.g. needles question batches of
+            # varying lengths reuse one compiled program per bucket. Padding
+            # KV past seq_lens is garbage but never attended (history_lens
+            # masks it) and decode overwrites it from position seq_len on.
+            # (Not in the disable_hydragen ablation: there the suffix block
+            # is written at a dynamic offset after the copied prefix, and a
+            # padded width could overflow the row.)
+            bucket = 0 if disable_hydragen else self.prefill_bucket
+            t = int(suffix_ids.shape[1])
+            if bucket and t % bucket:
+                tb = min(-(-t // bucket) * bucket, self.cache.max_unique_seq_len)
+                if tb > t:
+                    if suffix_lens is None:
+                        suffix_lens = jnp.full(
+                            (suffix_ids.shape[0],), t, dtype=jnp.int32
+                        )
+                    suffix_ids = jnp.pad(suffix_ids, ((0, 0), (0, tb - t)))
             starting_logits = self.process_unique(suffix_ids, suffix_lens)
             suffix_batch = int(suffix_ids.shape[0])
             if num_return_sequences > 1:
@@ -617,7 +636,7 @@ class HydragenLlama:
             spec = self._spec("decode", unique_history=True)
             # Decode positions are uniform across rows unless the suffix
             # prefill was ragged (then per-row scatter is required).
-            uniform_pos = suffix_lens is None
+            uniform_pos = suffix_uniform
 
             # EOS early-exit (llama.py:1337-1373): decode in fixed-size
             # scanned chunks with one host check between chunks, so a batch

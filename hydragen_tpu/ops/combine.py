@@ -37,18 +37,25 @@ def combine_lse(outs: Sequence[jax.Array], lses: Sequence[jax.Array]):
     if len(outs) == 1:
         return outs[0]
 
-    out_stack = jnp.stack([o.astype(jnp.float32) for o in outs])  # [n, b, s, h, d]
-    lse_stack = jnp.stack([l.astype(jnp.float32) for l in lses])  # [n, b, s, h]
-
-    max_lse = jnp.max(lse_stack, axis=0)
+    # No jnp.stack: stacking forces each partial to materialize an f32 copy
+    # in HBM before the reduction (profiled as per-layer layout-copy stalls
+    # in the 7B decode step); pairwise elementwise ops fuse end-to-end.
+    lses = [l.astype(jnp.float32) for l in lses]
+    max_lse = lses[0]
+    for l in lses[1:]:
+        max_lse = jnp.maximum(max_lse, l)
     # Guard fully-masked rows (all -inf) so exp(-inf - -inf) never NaNs.
     max_safe = jnp.maximum(max_lse, -1e30)
-    weights = jnp.exp(lse_stack - max_safe[None])  # [n, b, s, h]
-    denom = jnp.sum(weights, axis=0)
+    weights = [jnp.exp(l - max_safe) for l in lses]
+    denom = weights[0]
+    for w in weights[1:]:
+        denom = denom + w
     denom = jnp.where(denom == 0.0, 1.0, denom)
 
-    merged = jnp.sum(out_stack * weights[..., None], axis=0) / denom[..., None]
-    return merged.astype(outs[0].dtype)
+    merged = outs[0].astype(jnp.float32) * weights[0][..., None]
+    for o, w in zip(outs[1:], weights[1:]):
+        merged = merged + o.astype(jnp.float32) * w[..., None]
+    return (merged / denom[..., None]).astype(outs[0].dtype)
 
 
 def combine_lse_with_stats(outs: Sequence[jax.Array], lses: Sequence[jax.Array]):

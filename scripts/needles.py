@@ -38,6 +38,28 @@ def extract_answer(text: str):
     return m.group(1).strip().lower() if m else None
 
 
+def score_answers(texts, needles):
+    """Score decoded answers against their needles, bucketed by depth decile.
+
+    texts: decoded model outputs, question ``i`` asked about needle
+    ``i % len(needles)`` (the protocol's question order). Returns
+    (num_correct, correct_by_decile, count_by_decile) with deciles from each
+    needle's fractional position in the document (needles.py:223-247).
+    """
+    correct_by_dec = [0] * 10
+    count_by_dec = [0] * 10
+    num_correct = 0
+    for i, text in enumerate(texts):
+        needle = needles[i % len(needles)]
+        got = extract_answer("###" + text)
+        dec = min(int((needle.position_in_doc or 0.0) * 10), 9)
+        count_by_dec[dec] += 1
+        if got == needle.answer.lower():
+            correct_by_dec[dec] += 1
+            num_correct += 1
+    return num_correct, correct_by_dec, count_by_dec
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("outdir", type=Path)
@@ -156,15 +178,8 @@ def main():
         count_by_dec = [0] * 10
         num_correct = 0
         if tok is not None:
-            for i in range(n):
-                needle = needles[i % len(needles)]
-                text = tok.decode(out[i], skip_special_tokens=True)
-                got = extract_answer("###" + text)
-                dec = min(int((needle.position_in_doc or 0.0) * 10), 9)
-                count_by_dec[dec] += 1
-                if got == needle.answer.lower():
-                    correct_by_dec[dec] += 1
-                    num_correct += 1
+            texts = [tok.decode(out[i], skip_special_tokens=True) for i in range(n)]
+            num_correct, correct_by_dec, count_by_dec = score_answers(texts, needles)
         res = NeedlesBenchmarkResult(
             num_questions=n,
             haystack_chars=args.haystack_chars,

