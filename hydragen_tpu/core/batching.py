@@ -114,8 +114,21 @@ def _admit_step(
     from hydragen_tpu.ops.quant import quantize_kv
 
     def scatter_kv(buf, val, scale_buf, pay_scale):
-        # buf [L, B, hkv, U, hd]; val [L, K, hkv, t, hd]. Advanced indices
-        # (rows [K,1], slots [K,t]) land in front: value [K, t, L, hkv, hd].
+        # val [L, K, hkv, t, hd]. BSHD buf [L, B, U, hkv, hd]: advanced
+        # indices (rows, slots) hit ADJACENT dims (1, 2) and stay in place —
+        # value [L, K, t, hkv, hd]. BHSD buf [L, B, hkv, U, hd]: the indexed
+        # dims (1, 3) are separated, result dims land in front — value
+        # [K, t, L, hkv, hd].
+        if cache.unique_bshd:
+            buf = buf.at[:, rows[:, None], slots].set(
+                val.transpose(0, 1, 3, 2, 4).astype(buf.dtype), mode="drop"
+            )
+            if scale_buf is None:
+                return buf, None
+            scale_buf = scale_buf.at[:, rows[:, None], slots].set(
+                pay_scale.transpose(0, 1, 3, 2), mode="drop"
+            )
+            return buf, scale_buf
         value = val.transpose(1, 3, 0, 2, 4)
         buf = buf.at[:, rows[:, None], :, slots].set(
             value.astype(buf.dtype), mode="drop"

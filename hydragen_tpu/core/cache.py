@@ -26,6 +26,7 @@ TPU-native re-design of the reference's mutable cache modules
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -68,13 +69,19 @@ class SharedLevel(NamedTuple):
         return self.k_scale is not None
 
 
-class KVCache(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class KVCache:
     """Full cache state: unique cache + allocated shared levels.
 
-    unique_k, unique_v: ``[L, B, hkv, U, hd]``.
-    unique_k_scale, unique_v_scale: ``[L, B, hkv, U]`` f32 or None.
+    unique_k, unique_v: ``[L, B, hkv, U, hd]`` (BHSD, default) or
+    ``[L, B, U, hkv, hd]`` (BSHD) when ``unique_bshd`` — see allocate_cache.
+    unique_k_scale, unique_v_scale: matching layout minus ``hd``, f32 | None.
     shared: tuple of allocated ``SharedLevel`` (static length; how many are
     *active* is tracked by the engine as a static int).
+
+    ``unique_bshd`` is pytree *aux data* (a static jit key, not a traced
+    leaf), so every reader/writer can branch on the layout at trace time.
     """
 
     unique_k: jax.Array
@@ -82,6 +89,21 @@ class KVCache(NamedTuple):
     shared: Tuple[SharedLevel, ...]
     unique_k_scale: Optional[jax.Array] = None
     unique_v_scale: Optional[jax.Array] = None
+    unique_bshd: bool = False
+
+    def tree_flatten(self):
+        return (
+            (self.unique_k, self.unique_v, self.shared,
+             self.unique_k_scale, self.unique_v_scale),
+            self.unique_bshd,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, unique_bshd=aux)
+
+    def _replace(self, **kw) -> "KVCache":
+        return dataclasses.replace(self, **kw)
 
     @property
     def max_unique_batch_size(self) -> int:
@@ -89,7 +111,7 @@ class KVCache(NamedTuple):
 
     @property
     def max_unique_seq_len(self) -> int:
-        return self.unique_k.shape[3]
+        return self.unique_k.shape[2 if self.unique_bshd else 3]
 
     @property
     def quantized(self) -> bool:
@@ -106,20 +128,38 @@ def allocate_cache(
     head_dim: int,
     dtype=jnp.bfloat16,
     quantized: bool = False,
+    unique_bshd: Optional[bool] = None,
 ) -> KVCache:
-    """Allocate zeroed cache buffers (mirrors setup_caches, llama.py:921-955)."""
+    """Allocate zeroed cache buffers (mirrors setup_caches, llama.py:921-955).
+
+    ``unique_bshd``: store the unique cache ``[L, B, U, hkv, hd]`` (token dim
+    OUT of the HBM tile) instead of ``[L, B, hkv, U, hd]``. A single-token
+    decode write into a (seq, hd)-tiled buffer read-modify-writes a whole
+    32-token int8 tile per (row, head) — ~5 ms/step at 7B batch 256; with
+    (hkv, hd) innermost the write is tile-exact. Auto (None): on iff one
+    token's KV fills whole tiles (``hkv * hd * itemsize % 4096 == 0`` — MHA;
+    GQA head counts would pad sublanes up to 4x and stay BHSD).
+    """
     assert len(max_shared_batch_sizes) == len(max_shared_seq_lengths)
     store_dtype = jnp.int8 if quantized else dtype
+    itemsize = 1 if quantized else jnp.dtype(dtype).itemsize
+    if unique_bshd is None:
+        unique_bshd = (num_kv_heads * head_dim * itemsize) % 4096 == 0
 
-    def bufs(b, s):
-        k = jnp.zeros((num_layers, b, num_kv_heads, s, head_dim), dtype=store_dtype)
+    def bufs(b, s, bshd=False):
+        shape = (
+            (num_layers, b, s, num_kv_heads, head_dim) if bshd
+            else (num_layers, b, num_kv_heads, s, head_dim)
+        )
+        k = jnp.zeros(shape, dtype=store_dtype)
         if quantized:
-            sc = jnp.zeros((num_layers, b, num_kv_heads, s), dtype=jnp.float32)
+            sc = jnp.zeros(shape[:-1], dtype=jnp.float32)
         else:
             sc = None
         return k, jnp.zeros_like(k), sc, (None if sc is None else jnp.zeros_like(sc))
 
-    uk, uv, uks, uvs = bufs(max_unique_batch_size, max_unique_seq_length)
+    uk, uv, uks, uvs = bufs(max_unique_batch_size, max_unique_seq_length,
+                            bshd=unique_bshd)
     shared = tuple(
         SharedLevel(
             k=b[0], v=b[1], k_scale=b[2], v_scale=b[3],
@@ -130,7 +170,7 @@ def allocate_cache(
     )
     return KVCache(
         unique_k=uk, unique_v=uv, shared=shared,
-        unique_k_scale=uks, unique_v_scale=uvs,
+        unique_k_scale=uks, unique_v_scale=uvs, unique_bshd=unique_bshd,
     )
 
 
@@ -210,9 +250,15 @@ def update_unique_prefill(
     the copied shared length. ``row_start`` targets a row slot for
     continuous-batching admission.
     """
-    idx = (0, row_start, 0, start, 0)
     kq, ks = _maybe_quantize(k, cache.quantized)
     vq, vs = _maybe_quantize(v, cache.quantized)
+    if cache.unique_bshd:
+        idx = (0, row_start, start, 0, 0)
+        kq, vq = kq.transpose(0, 1, 3, 2, 4), vq.transpose(0, 1, 3, 2, 4)
+        if ks is not None:
+            ks, vs = ks.transpose(0, 1, 3, 2), vs.transpose(0, 1, 3, 2)
+    else:
+        idx = (0, row_start, 0, start, 0)
     return cache._replace(
         unique_k=_block_update(cache.unique_k, kq, idx),
         unique_v=_block_update(cache.unique_v, vq, idx),
@@ -243,7 +289,13 @@ def update_unique_decode(
     vq, vs = _maybe_quantize(v, cache.quantized)
 
     if uniform:
-        idx = (0, 0, 0, positions[0], 0)
+        if cache.unique_bshd:
+            idx = (0, 0, positions[0], 0, 0)
+            kq, vq = kq.transpose(0, 1, 3, 2, 4), vq.transpose(0, 1, 3, 2, 4)
+            if ks is not None:
+                ks, vs = ks.transpose(0, 1, 3, 2), vs.transpose(0, 1, 3, 2)
+        else:
+            idx = (0, 0, 0, positions[0], 0)
         return cache._replace(
             unique_k=_block_update(cache.unique_k, kq, idx),
             unique_v=_block_update(cache.unique_v, vq, idx),
@@ -254,15 +306,28 @@ def update_unique_decode(
     b = k.shape[1]
     rows = jnp.arange(b)
 
-    def scatter5(buf, val):
-        # Advanced indices on dims (1, 3) with slices between: result dims
-        # move to the front, so the value must be [b, L, hkv, hd].
-        value = val[:, :, :, 0].transpose(1, 0, 2, 3)
-        return buf.at[:, rows, :, positions].set(value.astype(buf.dtype))
+    if cache.unique_bshd:
+        # Advanced indices on ADJACENT dims (1, 2): result dims stay in
+        # place — value is [L, b, hkv, hd].
+        def scatter5(buf, val):
+            return buf.at[:, rows, positions].set(
+                val[:, :, :, 0].astype(buf.dtype)
+            )
 
-    def scatter4(buf, val):
-        value = val[:, :, :, 0].transpose(1, 0, 2)
-        return buf.at[:, rows, :, positions].set(value.astype(buf.dtype))
+        def scatter4(buf, val):
+            return buf.at[:, rows, positions].set(
+                val[:, :, :, 0].astype(buf.dtype)
+            )
+    else:
+        def scatter5(buf, val):
+            # Advanced indices on dims (1, 3) with slices between: result
+            # dims move to the front, so the value must be [b, L, hkv, hd].
+            value = val[:, :, :, 0].transpose(1, 0, 2, 3)
+            return buf.at[:, rows, :, positions].set(value.astype(buf.dtype))
+
+        def scatter4(buf, val):
+            value = val[:, :, :, 0].transpose(1, 0, 2)
+            return buf.at[:, rows, :, positions].set(value.astype(buf.dtype))
 
     return cache._replace(
         unique_k=scatter5(cache.unique_k, kq),
@@ -285,7 +350,13 @@ def write_decode_token_layer(
     """
     kq, ks = _maybe_quantize(k, cache.quantized)
     vq, vs = _maybe_quantize(v, cache.quantized)
-    idx = (layer, 0, 0, slot, 0)
+    if cache.unique_bshd:
+        idx = (layer, 0, slot, 0, 0)
+        kq, vq = kq.transpose(0, 2, 1, 3), vq.transpose(0, 2, 1, 3)
+        if ks is not None:
+            ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
+    else:
+        idx = (layer, 0, 0, slot, 0)
     return cache._replace(
         unique_k=_block_update(cache.unique_k, kq[None], idx),
         unique_v=_block_update(cache.unique_v, vq[None], idx),
@@ -344,6 +415,11 @@ def copy_shared_to_unique(
 
     def cp(dst, src):
         r = jnp.repeat(src, rep, axis=1)
+        if cache.unique_bshd:
+            perm = (0, 1, 3, 2, 4) if r.ndim == 5 else (0, 1, 3, 2)
+            return dst.at[:, :total_num_sequences, :S].set(
+                r.transpose(perm).astype(dst.dtype)
+            )
         return dst.at[:, :total_num_sequences, :, :S].set(r.astype(dst.dtype))
 
     return cache._replace(

@@ -347,11 +347,14 @@ class HydragenLlama:
         max_shared_seq_lengths: Sequence[int] = (),
         cache_dtype=None,
         kv_quant: Optional[str] = None,
+        unique_bshd: Optional[bool] = None,
     ):
         """Pre-allocate all cache buffers (llama.py:921-955).
 
         kv_quant="int8" stores KV payloads int8 with per-(token, head) fp32
         scales — halves KV HBM footprint and decode-attention bandwidth.
+        unique_bshd: token-dim-outside-tile unique layout (see
+        allocate_cache); None = auto by head geometry.
         """
         assert kv_quant in (None, "int8"), f"unknown kv_quant {kv_quant!r}"
         cfg = self.config
@@ -367,6 +370,7 @@ class HydragenLlama:
             cfg.head_dim,
             dtype=cache_dtype or cfg.jax_dtype,
             quantized=kv_quant == "int8",
+            unique_bshd=unique_bshd,
         )
         self.num_used_levels = 0
         self.level_filled = []

@@ -313,6 +313,7 @@ def model_forward(
     use_fused_cached = (
         t == 1
         and history_mask is None
+        and not cache.unique_bshd
         and spec.mode == "decode"
         and spec.num_used_levels == 1
         and spec.unique_history
@@ -343,8 +344,18 @@ def model_forward(
         level_lens = [lv.seq_lens[:sb] for lv, sb in zip(active_levels, level_sb)]
 
         if spec.unique_history:
-            uk = kv_view(cache.unique_k, cache.unique_k_scale, spec.unique_filled, rows=b)
-            uv = kv_view(cache.unique_v, cache.unique_v_scale, spec.unique_filled, rows=b)
+            if cache.unique_bshd:
+                # [L, B, U, hkv, hd]: slice rows and the token dim (dim 2).
+                def ukv_view(payload, scale):
+                    p = payload[:, :b, : spec.unique_filled]
+                    s = None if scale is None else scale[:, :b, : spec.unique_filled]
+                    return (p, s)
+
+                uk = ukv_view(cache.unique_k, cache.unique_k_scale)
+                uv = ukv_view(cache.unique_v, cache.unique_v_scale)
+            else:
+                uk = kv_view(cache.unique_k, cache.unique_k_scale, spec.unique_filled, rows=b)
+                uv = kv_view(cache.unique_v, cache.unique_v_scale, spec.unique_filled, rows=b)
         else:
             uk = uv = None
 
@@ -411,6 +422,7 @@ def model_forward(
                         q, ukv[0], ukv[1], causal=False,
                         kv_seq_lens=None if history_mask is not None else history_lens,
                         kv_mask=history_mask, impl=impl,
+                        kv_bshd=cache.unique_bshd,
                     )
                     outs.append(o)
                     lses.append(l)

@@ -49,7 +49,8 @@ def _pick_impl(impl: str | None) -> str:
     return "xla"
 
 
-def _attention(q, k, v, *, causal, kv_seq_lens, impl, kv_mask=None):
+def _attention(q, k, v, *, causal, kv_seq_lens, impl, kv_mask=None,
+               kv_bshd=False):
     """Dispatch a single BHSD (out, lse) attention to the selected backend.
 
     ``k``/``v`` may each be an ``(int8 payload, f32 scale)`` pair for a
@@ -66,15 +67,25 @@ def _attention(q, k, v, *, causal, kv_seq_lens, impl, kv_mask=None):
     """
     k, ks = k if isinstance(k, tuple) else (k, None)
     v, vs = v if isinstance(v, tuple) else (v, None)
-    if kv_mask is not None:
-        impl = "xla"  # arbitrary masks only on the XLA path (decode-scale M)
+    if kv_mask is not None or kv_bshd:
+        # Arbitrary masks and the BSHD unique-cache layout exist only on the
+        # XLA path (decode-scale M; the Pallas kernels are BHSD).
+        impl = "xla"
     elif impl in ("auto", "fused"):  # "fused" only changes the decode layer path
         M, s = q.shape[2], k.shape[2]
-        impl = "pallas" if (M >= 256 and s >= 1024) else "xla"
+        # Pallas when the score matrix is big enough that XLA materializes
+        # it in HBM: always at M >= 256; from M >= 128 once the KV stream is
+        # long (measured M=128/S=16K: pallas 420 us vs XLA 604; at M=64 XLA
+        # still fuses the softmax and wins 3x).
+        impl = (
+            "pallas"
+            if (M >= 256 and s >= 1024) or (M >= 128 and s >= 8192)
+            else "xla"
+        )
     if impl == "xla":
         return attention_bhsd(
             q, k, v, causal=causal, kv_seq_lens=kv_seq_lens, kv_mask=kv_mask,
-            k_scale=ks, v_scale=vs,
+            k_scale=ks, v_scale=vs, kv_bshd=kv_bshd,
         )
     elif impl == "pallas":
         from hydragen_tpu.ops.flash import flash_attention_bhsd

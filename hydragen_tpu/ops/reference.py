@@ -34,7 +34,7 @@ import jax.numpy as jnp
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-@partial(jax.jit, static_argnames=("causal", "scale"))
+@partial(jax.jit, static_argnames=("causal", "scale", "kv_bshd"))
 def attention_bhsd(
     q: jax.Array,
     k: jax.Array,
@@ -46,6 +46,7 @@ def attention_bhsd(
     kv_mask: jax.Array | None = None,
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
+    kv_bshd: bool = False,
 ):
     """Canonical-layout attention returning ``(out, lse)``.
 
@@ -67,6 +68,10 @@ def attention_bhsd(
             through a bare convert — which XLA fuses into the dot operand —
             and no dequantized bf16 copy is ever materialized in HBM
             (measured 3x on the decode unique-cache read at 7B bs256).
+        kv_bshd: k/v (and their scales) arrive ``[b, s, hkv, d]`` /
+            ``[b, s, hkv]`` — the unique cache's write-optimal layout
+            (core/cache.py allocate_cache). Only the einsum subscripts
+            change; the math is identical.
 
     Returns:
         out ``[b, hq, m, d]`` (q.dtype), lse ``[b, hq, m]`` (float32) =
@@ -74,7 +79,10 @@ def attention_bhsd(
         (``-inf`` for fully-masked rows).
     """
     b, hq, m, d = q.shape
-    _, hkv, s, _ = k.shape
+    if kv_bshd:
+        _, s, hkv, _ = k.shape
+    else:
+        _, hkv, s, _ = k.shape
     assert hq % hkv == 0, f"GQA requires hq % hkv == 0, got {hq} {hkv}"
     group = hq // hkv
 
@@ -87,9 +95,13 @@ def attention_bhsd(
     vf = v.astype(jnp.float32)
 
     qg = qf.reshape(b, hkv, group, m, d)
-    scores = jnp.einsum("bkgmd,bksd->bkgms", qg, kf)  # [b, hkv, grp, m, s]
+    k_sub = "bskd" if kv_bshd else "bksd"
+    scores = jnp.einsum(f"bkgmd,{k_sub}->bkgms", qg, kf)  # [b, hkv, grp, m, s]
     if k_scale is not None:
-        scores = scores * k_scale.astype(jnp.float32)[:, :, None, None, :]
+        ksf = k_scale.astype(jnp.float32)
+        if kv_bshd:
+            ksf = ksf.transpose(0, 2, 1)
+        scores = scores * ksf[:, :, None, None, :]
 
     mask = jnp.ones((b, 1, 1, m, s), dtype=bool)
     if causal:
@@ -113,8 +125,11 @@ def attention_bhsd(
 
     pn = p / l_safe
     if v_scale is not None:
-        pn = pn * v_scale.astype(jnp.float32)[:, :, None, None, :]
-    o = jnp.einsum("bkgms,bksd->bkgmd", pn, vf)
+        vsf = v_scale.astype(jnp.float32)
+        if kv_bshd:
+            vsf = vsf.transpose(0, 2, 1)
+        pn = pn * vsf[:, :, None, None, :]
+    o = jnp.einsum(f"bkgms,{k_sub}->bkgmd", pn, vf)
     out = o.reshape(b, hq, m, d).astype(q.dtype)
 
     lse = m_safe[..., 0] + jnp.log(l_safe[..., 0])  # [b, hkv, grp, m]

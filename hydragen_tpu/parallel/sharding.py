@@ -93,8 +93,12 @@ def cache_pspecs(cfg: ModelConfig, mesh: Mesh, cache: KVCache):
     batch_shard = dp if dp and cache.max_unique_batch_size % dp_size == 0 else None
     sp_size = mesh.shape["sp"] if sp else 1
 
-    ukv = P(None, batch_shard, head_shard, None, None)
-    uscale = P(None, batch_shard, head_shard, None) if cache.quantized else None
+    if cache.unique_bshd:  # [L, B, U, hkv, hd]
+        ukv = P(None, batch_shard, None, head_shard, None)
+        uscale = P(None, batch_shard, None, head_shard) if cache.quantized else None
+    else:
+        ukv = P(None, batch_shard, head_shard, None, None)
+        uscale = P(None, batch_shard, head_shard, None) if cache.quantized else None
 
     def level_seq_shard(lv):
         return sp if sp and lv.max_seq_len % sp_size == 0 else None
@@ -112,6 +116,7 @@ def cache_pspecs(cfg: ModelConfig, mesh: Mesh, cache: KVCache):
     return KVCache(
         unique_k=ukv, unique_v=ukv, shared=shared,
         unique_k_scale=uscale, unique_v_scale=uscale,
+        unique_bshd=cache.unique_bshd,
     )
 
 

@@ -56,6 +56,7 @@ def bench_point(engine, mode: str, bs: int, ns: int, nu: int, iters: int,
     else:
         inputs = [prompt]
         shared_bs, shared_len = [1], [ns]
+    engine.cache = None  # free the previous config's buffers BEFORE allocating
     engine.setup_caches(
         max_unique_batch_size=bs,
         max_unique_seq_length=unique_len,

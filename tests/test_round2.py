@@ -254,3 +254,75 @@ def test_codellama_34b_geometry_tp_specs():
     cspecs = cache_pspecs(cfg, mesh, cache)
     assert cspecs.unique_k[2] == "tp"           # kv heads shard
     assert cspecs.shared[0].k[3] == "sp"        # prefix seq shards over sp
+
+
+@pytest.mark.parametrize("kv_quant", [None, "int8"])
+def test_unique_bshd_layout_parity(kv_quant):
+    """The BSHD unique-cache layout (token dim outside the HBM tile; decode
+    writes become tile-exact) must be bit-identical to the default layout in
+    every mode: ragged suffix prefill, decode, hierarchy repeat, and the
+    disable_hydragen prefix copy."""
+    rng = np.random.RandomState(4)
+    shared = rng.randint(1, 256, size=(1, 12)).astype(np.int32)
+    suffix = rng.randint(1, 256, size=(4, 6)).astype(np.int32)
+    suffix_lens = np.asarray([6, 3, 5, 2], np.int32)
+
+    def run(bshd, **genkw):
+        eng = make_engine(prefill_bucket=0)
+        eng.setup_caches(
+            max_unique_batch_size=8,
+            max_unique_seq_length=48,
+            max_shared_batch_sizes=[1, 4],
+            max_shared_seq_lengths=[16, 8],
+            kv_quant=kv_quant,
+            unique_bshd=bshd,
+        )
+        return np.asarray(eng.generate(
+            input_ids=[shared, suffix], max_new_tokens=6, temperature=0.0,
+            shared_cache_op=SharedCacheOp.WIPE, **genkw,
+        ))
+
+    for kw in (
+        {},                                            # uniform suffix
+        {"seq_lens": [None, suffix_lens]},             # ragged (scatter path)
+        {"num_return_sequences": 2},                   # hierarchy + repeat
+        {"disable_hydragen": True},                    # prefix copy path
+    ):
+        a = run(False, **kw)
+        b = run(True, **kw)
+        np.testing.assert_array_equal(a, b, err_msg=str(kw))
+
+
+def test_unique_bshd_continuous_batching_parity():
+    from hydragen_tpu.core.batching import ContinuousBatcher
+
+    rng = np.random.RandomState(5)
+    shared = rng.randint(1, 256, size=(1, 8)).astype(np.int32)
+    prompts = [rng.randint(1, 256, size=(rng.randint(2, 7),)).astype(np.int32)
+               for _ in range(6)]
+
+    def run(bshd):
+        eng = make_engine(prefill_bucket=0)
+        eng.setup_caches(4, 32, [1], [16], unique_bshd=bshd)
+        eng.append_shared(shared)
+        cb = ContinuousBatcher(eng, chunk=4, bucket=8)
+        rids = [cb.submit(p, max_new_tokens=6) for p in prompts]
+        out = cb.run()
+        return [out[r] for r in rids]
+
+    assert run(False) == run(True)
+
+
+def test_unique_bshd_auto_selection():
+    from hydragen_tpu.core.cache import allocate_cache
+
+    # MHA int8: 32 heads x 128 dim x 1 B = 4096 -> tile-exact -> BSHD.
+    c = allocate_cache(2, 4, 16, [], [], 32, 128, quantized=True)
+    assert c.unique_bshd and c.unique_k.shape == (2, 4, 16, 32, 128)
+    assert c.max_unique_seq_len == 16
+    # GQA int8: 8 x 128 = 1 KB/token -> would pad 4x -> stays BHSD.
+    c = allocate_cache(2, 4, 16, [], [], 8, 128, quantized=True)
+    assert not c.unique_bshd and c.max_unique_seq_len == 16
+    # MHA bf16: 32 x 128 x 2 B = 8 KB -> tile-exact -> BSHD.
+    c = allocate_cache(2, 4, 16, [], [], 32, 128, quantized=False)
+    assert c.unique_bshd
