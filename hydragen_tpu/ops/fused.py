@@ -99,7 +99,9 @@ def _fused_kernel(
     def online_update(s, mask, v, vcols=None):
         # s: [mc, N] fp32 scores (pre-mask); v: [N, dp]; vcols: [1, N]
         # per-column v dequant scales (already zeroed where invalid).
-        s = jnp.where(mask, s * scale, NEG_INF)
+        if scale != 1.0:  # caller pre-scales q
+            s = s * scale
+        s = jnp.where(mask, s, NEG_INF)
         m_prev = m_scr[:, 0:1]
         l_prev = l_scr[:, 0:1]
         m_curr = jnp.max(s, axis=1, keepdims=True)
@@ -287,6 +289,9 @@ def _fused_call(
     # d == dp so the kernel DMAs straight out of the cache buffers; only the
     # small per-step q is padded when d < 128 (test-sized heads).
     qf = q.reshape(b, hkv, gm, d)
+    if scale != 1.0:  # pre-scale q once instead of every score (VPU-bound)
+        qf = (qf.astype(jnp.float32) * scale).astype(q.dtype)
+        scale = 1.0
     qp = jnp.pad(qf, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
     if d != dp:
         pad5 = ((0, 0), (0, 0), (0, 0), (0, 0), (0, dp - d))
