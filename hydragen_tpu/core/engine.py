@@ -178,11 +178,15 @@ def _decode_steps(
         upos = start_unique_pos + i
         # All rows share the slot: the in-place path writes each layer's
         # token inside the (unrolled) forward — no stacked new-KV array, no
-        # relayout, no whole-cache update (see model_forward). The
-        # disable_hydragen ablation keeps the scanned path: its rows carry
-        # the full copied prefix, and the unrolled loop's per-layer dequant
-        # transients exceed HBM at ablation-scale row widths.
-        if uniform_pos and not spec.disable_hydragen:
+        # relayout, no whole-cache update (see model_forward). Gated to
+        # int8 weights (whose decode already unrolls the layer loop; bf16
+        # prefers the rolled scan — 24x cheaper compile, measured faster)
+        # and off for the disable_hydragen ablation, whose full-prefix rows
+        # make the unrolled loop's dequant transients exceed HBM.
+        from hydragen_tpu.ops.quant import QuantizedTensor
+
+        w_quantized = isinstance(params["layers"]["wq"], QuantizedTensor)
+        if uniform_pos and w_quantized and not spec.disable_hydragen:
             hidden, cache = model_forward(
                 params, cfg, cache, tok, pos, upos[:, None], spec,
                 history_lens=upos, inplace_slot=upos[0],
@@ -192,7 +196,7 @@ def _decode_steps(
                 params, cfg, cache, tok, pos, upos[:, None], spec,
                 history_lens=upos,
             )
-            cache = update_unique_decode(cache, upos, nk, nv, uniform=False)
+            cache = update_unique_decode(cache, upos, nk, nv, uniform=uniform_pos)
         logits = logits_from_hidden(params, cfg, hidden)[:, 0]
         rng, sub = jax.random.split(rng)
         nxt = sample_from_logits(logits, sub, temperature, top_p, 1)
@@ -225,6 +229,21 @@ _repeat_unique = jax.jit(
     repeat_unique_for_samples, static_argnames=("current_size", "num_samples"),
     donate_argnames=("cache",),
 )
+
+
+def _pad_to_bucket(input_ids, seq_lens, bucket: int, cap: int):
+    """Right-pad ``input_ids`` to a bucket multiple (clamped to ``cap``),
+    synthesizing true ``seq_lens`` if absent. Returns (ids, seq_lens,
+    padded: bool); the padding is masked downstream via seq_lens."""
+    t = int(input_ids.shape[1])
+    if not bucket or t % bucket == 0:
+        return input_ids, seq_lens, False
+    tb = min(-(-t // bucket) * bucket, cap)
+    if tb <= t:
+        return input_ids, seq_lens, False
+    if seq_lens is None:
+        seq_lens = jnp.full((input_ids.shape[0],), t, dtype=jnp.int32)
+    return jnp.pad(input_ids, ((0, 0), (0, tb - t))), seq_lens, True
 
 
 # ---------------------------------------------------------------------------
@@ -440,18 +459,13 @@ class HydragenLlama:
         assert t <= level.max_seq_len, (
             f"level {self.num_used_levels} holds {level.max_seq_len} tokens, got {t}"
         )
-        has_pad = seq_lens is not None
-        if has_pad:
+        if seq_lens is not None:
             seq_lens = jnp.asarray(seq_lens, dtype=jnp.int32)
-        bucket = self.prefill_bucket
-        if bucket and t % bucket:
-            tb = min(-(-t // bucket) * bucket, level.max_seq_len)
-            if tb > t:
-                if not has_pad:
-                    seq_lens = jnp.full((b,), t, dtype=jnp.int32)
-                    has_pad = True
-                input_ids = jnp.pad(input_ids, ((0, 0), (0, tb - t)))
-                t = tb
+        input_ids, seq_lens, padded = _pad_to_bucket(
+            input_ids, seq_lens, self.prefill_bucket, level.max_seq_len
+        )
+        has_pad = seq_lens is not None
+        orig_t, t = t, int(input_ids.shape[1])
         spec = ForwardSpec(
             mode="shared_prefill",
             num_used_levels=self.num_used_levels,
@@ -471,6 +485,10 @@ class HydragenLlama:
         self.num_used_levels += 1
         self.level_filled.append(t)
         self.level_batch.append(b)
+        if full_logits and padded:
+            # Bucketing padded the width; trailing columns are pad-position
+            # logits — return the caller's true width.
+            logits = logits[:, :orig_t]
         return logits
 
     def process_unique(self, input_ids, seq_lens=None):
@@ -582,15 +600,10 @@ class HydragenLlama:
             # is written at a dynamic offset after the copied prefix, and a
             # padded width could overflow the row.)
             bucket = 0 if disable_hydragen else self.prefill_bucket
-            t = int(suffix_ids.shape[1])
-            if bucket and t % bucket:
-                tb = min(-(-t // bucket) * bucket, self.cache.max_unique_seq_len)
-                if tb > t:
-                    if suffix_lens is None:
-                        suffix_lens = jnp.full(
-                            (suffix_ids.shape[0],), t, dtype=jnp.int32
-                        )
-                    suffix_ids = jnp.pad(suffix_ids, ((0, 0), (0, tb - t)))
+            suffix_ids, suffix_lens, _ = _pad_to_bucket(
+                jnp.asarray(suffix_ids, dtype=jnp.int32), suffix_lens,
+                bucket, self.cache.max_unique_seq_len,
+            )
             starting_logits = self.process_unique(suffix_ids, suffix_lens)
             suffix_batch = int(suffix_ids.shape[0])
             if num_return_sequences > 1:

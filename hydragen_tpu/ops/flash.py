@@ -460,7 +460,12 @@ def flash_attention_bhsd(
             lo = mi * block_m
             hi = lo + block_m - 1
             max_qpos = jnp.where(lo // m == hi // m, hi % m, m - 1)
-            last = jnp.minimum(last, (max_qpos + (s - m)) // block_k)
+            # Clamp at 0: with the end-aligned diagonal and kv_len < q_len a
+            # fully-masked q block would otherwise map to block index -1
+            # (compute is skipped either way, but the DMA index must be valid).
+            last = jnp.minimum(
+                last, jnp.maximum((max_qpos + (s - m)) // block_k, 0)
+            )
         return last
 
     def kv_index(bh, mi, ki, lens_ref):

@@ -326,3 +326,56 @@ def test_unique_bshd_auto_selection():
     # MHA bf16: 32 x 128 x 2 B = 8 KB -> tile-exact -> BSHD.
     c = allocate_cache(2, 4, 16, [], [], 32, 128, quantized=False)
     assert c.unique_bshd
+
+
+def test_round2_paths_vs_hf_oracle():
+    """HF fp32 oracle anchor (CLAUDE.md e2e rule) through the round-2 paths
+    stacked together: prefill bucketing (bucket 16 pads the 10-token prefix
+    and 6-token suffix), partial-batch level fill (1 prefix in a 2-wide
+    level), and the BSHD unique layout — greedy tokens must match
+    hf.generate exactly."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    torch.manual_seed(0)
+    hf = transformers.LlamaForCausalLM(transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )).eval()
+
+    rng = np.random.RandomState(6)
+    shared = rng.randint(1, 128, size=(1, 10)).astype(np.int32)
+    suffix = rng.randint(1, 128, size=(4, 6)).astype(np.int32)
+
+    eng = HydragenLlama.from_hf_model(hf, dtype="float32", prefill_bucket=16)
+    eng.setup_caches(
+        max_unique_batch_size=4,
+        max_unique_seq_length=48,
+        max_shared_batch_sizes=[2],   # filled with only 1 prefix below
+        max_shared_seq_lengths=[32],
+        unique_bshd=True,
+    )
+    eng.append_shared(shared)
+    assert eng.level_batch == [1] and eng.level_filled == [16]  # bucketed
+
+    full = np.concatenate([np.repeat(shared, 4, 0), suffix], axis=1)
+    with torch.no_grad():
+        out = hf.generate(
+            torch.tensor(full), max_new_tokens=6, do_sample=False,
+            output_scores=True, return_dict_in_generate=True, pad_token_id=0,
+        )
+    want_ids = out.sequences[:, full.shape[1]:].numpy()
+    want_scores = [s.numpy() for s in out.scores]
+
+    # token_overrides pin the HF token path so a single near-tie cannot
+    # cascade; per-step logits must match the fp32 oracle (test_e2e's device).
+    _, logits = eng.generate(
+        input_ids=[suffix], max_new_tokens=6, temperature=0.0,
+        shared_cache_op=SharedCacheOp.PRESERVE, return_logits=True,
+        token_overrides=want_ids,
+    )
+    for step in range(6):
+        np.testing.assert_allclose(
+            np.asarray(logits[step]), want_scores[step], atol=2e-3
+        )
