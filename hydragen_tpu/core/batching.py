@@ -178,15 +178,32 @@ def _decode_chunk(
     ``dynamic_update_slice``; validity is the per-row ring window mask."""
     U = cache.max_unique_seq_len
 
+    from hydragen_tpu.core.cache import update_unique_decode
+    from hydragen_tpu.ops.quant import QuantizedTensor
+
+    # In-place unrolled decode only with int8 weights (whose layer loop
+    # unrolls anyway); bf16 keeps the rolled scan — same gate as the engine.
+    w_quantized = isinstance(params["layers"]["wq"], QuantizedTensor)
+
     def step(carry, _):
         cache, st, rng = carry
         mask = ring_mask(st.start, st.cursor, U)
         slot = jnp.mod(st.cursor, U).astype(jnp.int32)
         upos = jnp.broadcast_to(slot, st.pos.shape)[:, None]
-        hidden, cache = model_forward(
-            params, cfg, cache, st.cur_token, st.pos[:, None], upos,
-            spec, history_mask=mask, inplace_slot=slot,
-        )
+        if w_quantized:
+            hidden, cache = model_forward(
+                params, cfg, cache, st.cur_token, st.pos[:, None], upos,
+                spec, history_mask=mask, inplace_slot=slot,
+            )
+        else:
+            hidden, nk, nv = model_forward(
+                params, cfg, cache, st.cur_token, st.pos[:, None], upos,
+                spec, history_mask=mask,
+            )
+            cache = update_unique_decode(
+                cache, jnp.broadcast_to(slot, st.pos.shape), nk, nv,
+                uniform=True,
+            )
         logits = logits_from_hidden(params, cfg, hidden)[:, 0]
         rng, sub = jax.random.split(rng)
         nxt = sample_from_logits(logits, sub, temperature, top_p, 1)[:, 0]

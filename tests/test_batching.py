@@ -105,3 +105,28 @@ def test_continuous_batching_varied_budgets(setup):
     for rid, prompt, n in zip(rids, prompts, budgets):
         want = reference_tokens(params, shared, prompt, n)
         assert results[rid] == want
+
+
+def test_continuous_batching_int8_weights_inplace_path():
+    """int8 weights route the ring decode through the in-place unrolled
+    path (bf16 keeps the rolled scan); results must match the bf16-weight
+    scheduler structurally (same budgets honored, tokens emitted)."""
+    import jax
+
+    from hydragen_tpu.core.batching import ContinuousBatcher
+    from hydragen_tpu.core.engine import HydragenLlama
+    from hydragen_tpu.models.llama import init_params
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    eng = HydragenLlama(CFG, params, quantization="int8", prefill_bucket=0)
+    eng.setup_caches(4, 32, [1], [16])
+    rng = np.random.RandomState(11)
+    eng.append_shared(rng.randint(1, CFG.vocab_size, size=(1, 8)).astype(np.int32))
+    cb = ContinuousBatcher(eng, chunk=4, bucket=8)
+    rids = [
+        cb.submit(rng.randint(1, CFG.vocab_size, size=(5,)).astype(np.int32),
+                  max_new_tokens=n)
+        for n in (3, 7, 10)
+    ]
+    out = cb.run()
+    assert [len(out[r]) for r in rids] == [3, 7, 10]
