@@ -120,11 +120,21 @@ def main():
 
     # No-sharing baseline: the prefix is copied into every row's cache, so
     # halve its batch until the copies fit (reference synth.py's noshared
-    # mode OOMs the same way at paper scale).
+    # mode OOMs the same way at paper scale). copy_shared_to_unique's
+    # jnp.repeat materializes a transient copy of the per-row prefix KV in
+    # the cache's storage dtype — budget it too, or the chosen base_bs can
+    # still OOM at runtime (ADVICE r2).
+    def repeat_transient(b):
+        per_tok = cfg.num_key_value_heads * cfg.head_dim * 2
+        payload = cfg.num_hidden_layers * b * shared_len * per_tok
+        if kv_quant == "int8":
+            return payload + payload // cfg.head_dim * 4  # + f32 scales
+        return payload * 2
+
     base_bs = bs
     while base_bs > 1 and cache_bytes(
         cfg, base_bs, new_tokens + shared_len + 8, shared_len, kv_quant == "int8"
-    ) > budget:
+    ) + repeat_transient(base_bs) > budget:
         base_bs //= 2
     base = run_config(engine, prompt, base_bs, new_tokens, disable_hydragen=True,
                       kv_quant=kv_quant)
@@ -132,6 +142,11 @@ def main():
     tag = quant or "bf16"
     if kv_quant:
         tag += "+kv" + kv_quant
+    # NB: when base_bs < bs the speedup compares hydragen at its batch
+    # against the baseline at its own best *feasible* batch (the baseline
+    # not fitting IS the paper's point) — it is a system-level ratio, not an
+    # equal-batch kernel speedup; see docs/results_v5e.md for equal-batch
+    # numbers where both fit.
     print(json.dumps({
         "metric": "decode_throughput_%s_%s_bs%d_shared%d"
         % (model, tag, bs, shared_len),

@@ -125,9 +125,18 @@ def _admit_step(
             )
             if scale_buf is None:
                 return buf, None
-            scale_buf = scale_buf.at[:, rows[:, None], slots].set(
-                pay_scale.transpose(0, 1, 3, 2), mode="drop"
-            )
+            if cache.flat_scales:
+                # [L, B, S*hkv]: token slot j of row r spans hkv lanes at
+                # slots[r, j] * hkv (OOB slots land past the buffer: drop).
+                hkv = val.shape[2]
+                cols = slots[:, :, None] * hkv + jnp.arange(hkv)[None, None, :]
+                scale_buf = scale_buf.at[:, rows[:, None, None], cols].set(
+                    pay_scale.transpose(0, 1, 3, 2), mode="drop"
+                )
+            else:
+                scale_buf = scale_buf.at[:, rows[:, None], slots].set(
+                    pay_scale.transpose(0, 1, 3, 2), mode="drop"
+                )
             return buf, scale_buf
         value = val.transpose(1, 3, 0, 2, 4)
         buf = buf.at[:, rows[:, None], :, slots].set(
@@ -153,12 +162,17 @@ def _admit_step(
     logits = logits_from_hidden(params, cfg, hidden, seq_lens)
     first = sample_from_logits(logits[:, -1], rng, temperature, top_p, 1)
 
+    # mode="drop": padding entries carry a sentinel row index (== pool size)
+    # so K-bucket duplicates have no effect at all — the state scatter stays
+    # deterministic even if sampling ever draws different tokens for
+    # duplicate entries (ADVICE r2: duplicate indices in .at[].set are
+    # order-nondeterministic when values differ).
     state = BatchState(
-        cur_token=state.cur_token.at[rows].set(first),
-        pos=state.pos.at[rows].set(shared_lens + seq_lens),
-        start=state.start.at[rows].set(cursor - seq_lens),
-        remaining=state.remaining.at[rows].set(max_news - 1),
-        active=state.active.at[rows].set(max_news > 1),
+        cur_token=state.cur_token.at[rows].set(first, mode="drop"),
+        pos=state.pos.at[rows].set(shared_lens + seq_lens, mode="drop"),
+        start=state.start.at[rows].set(cursor - seq_lens, mode="drop"),
+        remaining=state.remaining.at[rows].set(max_news - 1, mode="drop"),
+        active=state.active.at[rows].set(max_news > 1, mode="drop"),
         cursor=cursor,
     )
     return state, cache
@@ -336,15 +350,19 @@ class ContinuousBatcher:
             kb = 1
             while kb < k:
                 kb *= 2
+            # Padding duplicates the first member's inputs but carries a
+            # sentinel row index (== pool size): every scatter in _admit_step
+            # uses mode="drop", so duplicates write nothing at all.
             padded_members = members + [members[0]] * (kb - k)
             ids = np.zeros((kb, tb), dtype=np.int32)
             lens = np.zeros((kb,), dtype=np.int32)
-            rows = np.zeros((kb,), dtype=np.int32)
+            rows = np.full((kb,), self.B, dtype=np.int32)
             max_news = np.zeros((kb,), dtype=np.int32)
             for i, (row, req) in enumerate(padded_members):
                 ids[i, : len(req.ids)] = req.ids
                 lens[i] = len(req.ids)
-                rows[i] = row
+                if i < k:
+                    rows[i] = row
                 max_news[i] = req.max_new_tokens
             self.rng, sub = jax.random.split(self.rng)
             self.state, eng.cache = _admit_step(

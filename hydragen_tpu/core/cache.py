@@ -90,17 +90,23 @@ class KVCache:
     unique_k_scale: Optional[jax.Array] = None
     unique_v_scale: Optional[jax.Array] = None
     unique_bshd: bool = False
+    # int8-KV scales stored flat lane-major ``[L, B, S*hkv]`` (token-major,
+    # head-minor) instead of ``[L, B, S, hkv]``: the 4D layout pads hkv up
+    # to the 128-lane tile (4x scale HBM traffic at hkv=32) and the flat
+    # order is exactly the score-column order of the Pallas decode kernel
+    # (ops/decode.py). Off under a mesh: the head dim must stay shardable.
+    flat_scales: bool = False
 
     def tree_flatten(self):
         return (
             (self.unique_k, self.unique_v, self.shared,
              self.unique_k_scale, self.unique_v_scale),
-            self.unique_bshd,
+            (self.unique_bshd, self.flat_scales),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, unique_bshd=aux)
+        return cls(*children, unique_bshd=aux[0], flat_scales=aux[1])
 
     def _replace(self, **kw) -> "KVCache":
         return dataclasses.replace(self, **kw)
@@ -129,6 +135,7 @@ def allocate_cache(
     dtype=jnp.bfloat16,
     quantized: bool = False,
     unique_bshd: Optional[bool] = None,
+    flat_scales: Optional[bool] = None,
 ) -> KVCache:
     """Allocate zeroed cache buffers (mirrors setup_caches, llama.py:921-955).
 
@@ -145,21 +152,25 @@ def allocate_cache(
     itemsize = 1 if quantized else jnp.dtype(dtype).itemsize
     if unique_bshd is None:
         unique_bshd = (num_kv_heads * head_dim * itemsize) % 4096 == 0
+    if flat_scales is None:
+        flat_scales = unique_bshd and quantized
+    flat_scales = bool(flat_scales and unique_bshd and quantized)
 
-    def bufs(b, s, bshd=False):
+    def bufs(b, s, bshd=False, flat=False):
         shape = (
             (num_layers, b, s, num_kv_heads, head_dim) if bshd
             else (num_layers, b, num_kv_heads, s, head_dim)
         )
         k = jnp.zeros(shape, dtype=store_dtype)
         if quantized:
-            sc = jnp.zeros(shape[:-1], dtype=jnp.float32)
+            sshape = (num_layers, b, s * num_kv_heads) if flat else shape[:-1]
+            sc = jnp.zeros(sshape, dtype=jnp.float32)
         else:
             sc = None
         return k, jnp.zeros_like(k), sc, (None if sc is None else jnp.zeros_like(sc))
 
     uk, uv, uks, uvs = bufs(max_unique_batch_size, max_unique_seq_length,
-                            bshd=unique_bshd)
+                            bshd=unique_bshd, flat=flat_scales)
     shared = tuple(
         SharedLevel(
             k=b[0], v=b[1], k_scale=b[2], v_scale=b[3],
@@ -171,6 +182,7 @@ def allocate_cache(
     return KVCache(
         unique_k=uk, unique_v=uv, shared=shared,
         unique_k_scale=uks, unique_v_scale=uvs, unique_bshd=unique_bshd,
+        flat_scales=flat_scales,
     )
 
 
@@ -252,18 +264,27 @@ def update_unique_prefill(
     """
     kq, ks = _maybe_quantize(k, cache.quantized)
     vq, vs = _maybe_quantize(v, cache.quantized)
+    L, bb, hkv, t = k.shape[:4]
     if cache.unique_bshd:
         idx = (0, row_start, start, 0, 0)
         kq, vq = kq.transpose(0, 1, 3, 2, 4), vq.transpose(0, 1, 3, 2, 4)
         if ks is not None:
-            ks, vs = ks.transpose(0, 1, 3, 2), vs.transpose(0, 1, 3, 2)
+            if cache.flat_scales:
+                # [L, b, hkv, t] -> token-major head-minor [L, b, t*hkv].
+                sidx = (0, row_start, start * hkv)
+                ks = ks.transpose(0, 1, 3, 2).reshape(L, bb, t * hkv)
+                vs = vs.transpose(0, 1, 3, 2).reshape(L, bb, t * hkv)
+            else:
+                sidx = idx[:4]
+                ks, vs = ks.transpose(0, 1, 3, 2), vs.transpose(0, 1, 3, 2)
     else:
         idx = (0, row_start, 0, start, 0)
+        sidx = idx[:4]
     return cache._replace(
         unique_k=_block_update(cache.unique_k, kq, idx),
         unique_v=_block_update(cache.unique_v, vq, idx),
-        unique_k_scale=None if ks is None else _block_update(cache.unique_k_scale, ks, idx[:4]),
-        unique_v_scale=None if vs is None else _block_update(cache.unique_v_scale, vs, idx[:4]),
+        unique_k_scale=None if ks is None else _block_update(cache.unique_k_scale, ks, sidx),
+        unique_v_scale=None if vs is None else _block_update(cache.unique_v_scale, vs, sidx),
     )
 
 
@@ -287,20 +308,27 @@ def update_unique_decode(
     """
     kq, ks = _maybe_quantize(k, cache.quantized)
     vq, vs = _maybe_quantize(v, cache.quantized)
+    hkv = k.shape[2]
 
     if uniform:
         if cache.unique_bshd:
             idx = (0, 0, positions[0], 0, 0)
             kq, vq = kq.transpose(0, 1, 3, 2, 4), vq.transpose(0, 1, 3, 2, 4)
             if ks is not None:
-                ks, vs = ks.transpose(0, 1, 3, 2), vs.transpose(0, 1, 3, 2)
+                if cache.flat_scales:
+                    sidx = (0, 0, positions[0] * hkv)
+                    ks, vs = ks[..., 0], vs[..., 0]  # [L, b, hkv]
+                else:
+                    sidx = idx[:4]
+                    ks, vs = ks.transpose(0, 1, 3, 2), vs.transpose(0, 1, 3, 2)
         else:
             idx = (0, 0, 0, positions[0], 0)
+            sidx = idx[:4]
         return cache._replace(
             unique_k=_block_update(cache.unique_k, kq, idx),
             unique_v=_block_update(cache.unique_v, vq, idx),
-            unique_k_scale=None if ks is None else _block_update(cache.unique_k_scale, ks, idx[:4]),
-            unique_v_scale=None if vs is None else _block_update(cache.unique_v_scale, vs, idx[:4]),
+            unique_k_scale=None if ks is None else _block_update(cache.unique_k_scale, ks, sidx),
+            unique_v_scale=None if vs is None else _block_update(cache.unique_v_scale, vs, sidx),
         )
 
     b = k.shape[1]
@@ -314,10 +342,17 @@ def update_unique_decode(
                 val[:, :, :, 0].astype(buf.dtype)
             )
 
-        def scatter4(buf, val):
-            return buf.at[:, rows, positions].set(
-                val[:, :, :, 0].astype(buf.dtype)
-            )
+        if cache.flat_scales:
+            # [L, B, S*hkv]: each row's token segment is hkv contiguous
+            # lanes at positions[r]*hkv.
+            def scatter4(buf, val):
+                cols = positions[:, None] * hkv + jnp.arange(hkv)[None, :]
+                return buf.at[:, rows[:, None], cols].set(val[:, :, :, 0])
+        else:
+            def scatter4(buf, val):
+                return buf.at[:, rows, positions].set(
+                    val[:, :, :, 0].astype(buf.dtype)
+                )
     else:
         def scatter5(buf, val):
             # Advanced indices on dims (1, 3) with slices between: result
@@ -350,18 +385,25 @@ def write_decode_token_layer(
     """
     kq, ks = _maybe_quantize(k, cache.quantized)
     vq, vs = _maybe_quantize(v, cache.quantized)
+    hkv = k.shape[1]
     if cache.unique_bshd:
         idx = (layer, 0, slot, 0, 0)
         kq, vq = kq.transpose(0, 2, 1, 3), vq.transpose(0, 2, 1, 3)
         if ks is not None:
-            ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
+            if cache.flat_scales:
+                sidx = (layer, 0, slot * hkv)
+                ks, vs = ks[..., 0], vs[..., 0]  # [b, hkv]
+            else:
+                sidx = idx[:4]
+                ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
     else:
         idx = (layer, 0, 0, slot, 0)
+        sidx = idx[:4]
     return cache._replace(
         unique_k=_block_update(cache.unique_k, kq[None], idx),
         unique_v=_block_update(cache.unique_v, vq[None], idx),
-        unique_k_scale=None if ks is None else _block_update(cache.unique_k_scale, ks[None], idx[:4]),
-        unique_v_scale=None if vs is None else _block_update(cache.unique_v_scale, vs[None], idx[:4]),
+        unique_k_scale=None if ks is None else _block_update(cache.unique_k_scale, ks[None], sidx[:3] if cache.flat_scales else sidx),
+        unique_v_scale=None if vs is None else _block_update(cache.unique_v_scale, vs[None], sidx[:3] if cache.flat_scales else sidx),
     )
 
 
@@ -416,6 +458,11 @@ def copy_shared_to_unique(
     def cp(dst, src):
         r = jnp.repeat(src, rep, axis=1)
         if cache.unique_bshd:
+            if r.ndim == 4 and cache.flat_scales:
+                # [L, B, hkv, S] -> [L, B, S*hkv] token-major head-minor.
+                L_, B_, H_, S_ = r.shape
+                flat = r.transpose(0, 1, 3, 2).reshape(L_, B_, S_ * H_)
+                return dst.at[:, :total_num_sequences, : S_ * H_].set(flat)
             perm = (0, 1, 3, 2, 4) if r.ndim == 5 else (0, 1, 3, 2)
             return dst.at[:, :total_num_sequences, :S].set(
                 r.transpose(perm).astype(dst.dtype)

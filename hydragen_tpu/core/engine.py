@@ -390,6 +390,9 @@ class HydragenLlama:
             dtype=cache_dtype or cfg.jax_dtype,
             quantized=kv_quant == "int8",
             unique_bshd=unique_bshd,
+            # Flat lane-major scales fold the kv-head dim into lanes, which
+            # a head-sharded mesh cannot split — keep the 4D layout there.
+            flat_scales=False if self.mesh is not None else None,
         )
         self.num_used_levels = 0
         self.level_filled = []
@@ -659,7 +662,13 @@ class HydragenLlama:
             # scanned chunks with one host check between chunks, so a batch
             # that finishes at token 3 of max_new=256 pays ~1 chunk, not the
             # full budget. Without an eos the whole budget is one scan.
-            chunk = self.eos_chunk if eos_token_id is not None else 0
+            # token_overrides force-replay a fixed stream: a *sampled* EOS
+            # must not cut the replay short (the remaining forced steps and
+            # their logits would be lost), so overrides run one full scan.
+            chunk = (
+                self.eos_chunk
+                if eos_token_id is not None and not use_overrides else 0
+            )
             if not chunk or chunk >= steps:
                 plan = [steps]
             else:

@@ -71,7 +71,7 @@ def init_params(cfg: ModelConfig, key: jax.Array, quantized: bool = False):
             scale = jnp.full(
                 shape[:-2] + shape[-1:],
                 1.0 / (74.0 * math.sqrt(fan_in)),  # ~unit-normal channel amax
-                dtype=jnp.float32,
+                dtype=jnp.bfloat16,
             )
             return QuantizedTensor(q=q, scale=scale)
         return jax.random.normal(k, shape, dtype=dt) / jnp.asarray(
@@ -348,7 +348,12 @@ def model_forward(
                 # [L, B, U, hkv, hd]: slice rows and the token dim (dim 2).
                 def ukv_view(payload, scale):
                     p = payload[:, :b, : spec.unique_filled]
-                    s = None if scale is None else scale[:, :b, : spec.unique_filled]
+                    if scale is None:
+                        s = None
+                    elif cache.flat_scales:  # [L, B, S*hkv]
+                        s = scale[:, :b, : spec.unique_filled * nkv]
+                    else:
+                        s = scale[:, :b, : spec.unique_filled]
                     return (p, s)
 
                 uk = ukv_view(cache.unique_k, cache.unique_k_scale)
@@ -362,7 +367,28 @@ def model_forward(
     lp = params["layers"]
     has_bias = "bq" in lp
 
-    def layer(h, xs):
+    # Decode-kernel eligibility: int8 BSHD unique cache with lane-major flat
+    # scales, single-token queries, prefix-length masking (the ring pool's
+    # wrapped windows stay on XLA), single chip. ``impl="xla"`` is the exact
+    # escape hatch (the kernel re-quantizes q and p, ~0.5 % RMS noise).
+    use_dec_kernel = (
+        t == 1
+        and cache.unique_bshd
+        and cache.flat_scales
+        and spec.unique_history
+        and history_mask is None
+        and not spec.sharded
+        and spec.impl != "xla"
+        and cfg.head_dim <= 128
+        and jax.default_backend() == "tpu"
+    )
+
+    def layer(h, xs, inplace_ctx=None):
+        """inplace_ctx = (li:int, holder:{"cache"}, hl1) activates the
+        scatter-before-attend decode flow: this layer's single token is
+        written into the cache FIRST, then the unique read covers history
+        + own token (the reference's decode ordering, llama.py:564-587) —
+        dropping the analytic own-token partial and one combine input."""
         (li, wq, wk, wv, wo, gate, up, down, in_n, post_n, biases, lvl_kv, ukv) = xs
         resid = h
         x = rms_norm(h, in_n, cfg.rms_norm_eps)
@@ -380,6 +406,14 @@ def model_forward(
 
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+
+        if inplace_ctx is not None:
+            from hydragen_tpu.core.cache import write_decode_token_layer
+
+            li_i, holder, hl1 = inplace_ctx
+            holder["cache"] = write_decode_token_layer(
+                holder["cache"], li_i, k, v, inplace_slot
+            )
 
         if spec.disable_attention:
             attn = q
@@ -417,34 +451,92 @@ def model_forward(
                         )
                         outs.append(unfold_shared_out(o, b, t))
                         lses.append(unfold_shared_lse(l, b, t))
-                if ukv is not None:
+                if inplace_ctx is not None:
+                    # Scatter-before-attend: read THIS layer's slice of the
+                    # just-updated cache; the token above is in-range.
+                    cch = holder["cache"]
+                    U = spec.unique_filled
+                    if cch.unique_bshd:
+                        uk_p = cch.unique_k[li_i, :b, :U]
+                        uv_p = cch.unique_v[li_i, :b, :U]
+                    else:
+                        uk_p = cch.unique_k[li_i, :b, :, :U]
+                        uv_p = cch.unique_v[li_i, :b, :, :U]
+                    if cch.quantized:
+                        if cch.flat_scales:
+                            uk_s = cch.unique_k_scale[li_i, :b, : U * nkv]
+                            uv_s = cch.unique_v_scale[li_i, :b, : U * nkv]
+                        elif cch.unique_bshd:
+                            uk_s = cch.unique_k_scale[li_i, :b, :U]
+                            uv_s = cch.unique_v_scale[li_i, :b, :U]
+                        else:
+                            uk_s = cch.unique_k_scale[li_i, :b, :, :U]
+                            uv_s = cch.unique_v_scale[li_i, :b, :, :U]
+                    else:
+                        uk_s = uv_s = None
+                    if use_dec_kernel and cch.quantized:
+                        from hydragen_tpu.ops.decode import (
+                            decode_attention_bshd,
+                        )
+
+                        o, l = decode_attention_bshd(
+                            q, uk_p, uv_p, kv_seq_lens=hl1,
+                            k_scale=uk_s.reshape(b, 1, U * nkv),
+                            v_scale=uv_s.reshape(b, 1, U * nkv),
+                            scales_chunked=True,
+                        )
+                    else:
+                        if uk_s is not None and cch.flat_scales:
+                            uk_s = uk_s.reshape(b, U, nkv)
+                            uv_s = uv_s.reshape(b, U, nkv)
+                        o, l = _attention(
+                            q, (uk_p, uk_s), (uv_p, uv_s), causal=False,
+                            kv_seq_lens=hl1, impl=impl,
+                            kv_bshd=cch.unique_bshd,
+                        )
+                    outs.append(o)
+                    lses.append(l)
+                elif ukv is not None:
+                    uks = ukv[0][1]
+                    uvs = ukv[1][1]
+                    if uks is not None and cache.flat_scales:
+                        # Per-layer flat slice [b, U*nkv] -> the XLA path's
+                        # [b, U, nkv] view (rare combo: flat cache off the
+                        # scatter-first path).
+                        U = spec.unique_filled
+                        uks = uks.reshape(b, U, nkv)
+                        uvs = uvs.reshape(b, U, nkv)
                     o, l = _attention(
-                        q, ukv[0], ukv[1], causal=False,
+                        q, (ukv[0][0], uks) if uks is not None else ukv[0],
+                        (ukv[1][0], uvs) if uvs is not None else ukv[1],
+                        causal=False,
                         kv_seq_lens=None if history_mask is not None else history_lens,
                         kv_mask=history_mask, impl=impl,
                         kv_bshd=cache.unique_bshd,
                     )
                     outs.append(o)
                     lses.append(l)
-            # Causal self-attention over the current input's KV.
-            if t == 1:
-                # Decode: softmax over a single own-token KV is the identity —
-                # out = v, lse = q·k·scale. Computing this analytically avoids
-                # a per-layer kernel launch in the hot loop.
-                scale = 1.0 / math.sqrt(hd)
-                group = nh // nkv
-                qg = q.astype(jnp.float32).reshape(b, nkv, group, 1, hd)
-                kf = k.astype(jnp.float32)
-                l = (
-                    jnp.einsum("bkgmd,bkmd->bkgm", qg, kf) * scale
-                ).reshape(b, nh, 1)
-                o = jnp.broadcast_to(
-                    v[:, :, None], (b, nkv, group, 1, hd)
-                ).reshape(b, nh, 1, hd).astype(q.dtype)
-            else:
-                o, l = _attention(q, k, v, causal=True, kv_seq_lens=None, impl=impl)
-            outs.append(o)
-            lses.append(l)
+            # Causal self-attention over the current input's KV — the
+            # scatter-first flow already covered the own token above.
+            if inplace_ctx is None:
+                if t == 1:
+                    # Decode: softmax over a single own-token KV is the
+                    # identity — out = v, lse = q·k·scale. Computing this
+                    # analytically avoids a per-layer kernel launch.
+                    scale = 1.0 / math.sqrt(hd)
+                    group = nh // nkv
+                    qg = q.astype(jnp.float32).reshape(b, nkv, group, 1, hd)
+                    kf = k.astype(jnp.float32)
+                    l = (
+                        jnp.einsum("bkgmd,bkmd->bkgm", qg, kf) * scale
+                    ).reshape(b, nh, 1)
+                    o = jnp.broadcast_to(
+                        v[:, :, None], (b, nkv, group, 1, hd)
+                    ).reshape(b, nh, 1, hd).astype(q.dtype)
+                else:
+                    o, l = _attention(q, k, v, causal=True, kv_seq_lens=None, impl=impl)
+                outs.append(o)
+                lses.append(l)
             attn = combine_lse(outs, lses)
 
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
@@ -481,22 +573,36 @@ def model_forward(
     )
 
     if inplace_slot is not None:
-        # Decode fast path: Python loop (fully static per-layer slices), new
-        # KVs written per layer AFTER the loop. All reads hit the original
-        # buffers (this step's token is never in its own history), so the
-        # buffers' last use precedes the first update and XLA keeps every
-        # dynamic-update-slice in place — writing *during* the loop would
-        # keep the original alive and force whole-cache copies.
+        # Decode fast path: Python loop, fully static per-layer slices.
         assert t == 1, "inplace_slot is a single-token decode path"
         from hydragen_tpu.core.cache import write_decode_token_layer
 
-        new_kvs = []
-        for li in range(cfg.num_hidden_layers):
-            xs_li = jax.tree.map(lambda a, li=li: a[li], xs)
-            h, (k1, v1) = layer(h, xs_li)
-            new_kvs.append((k1, v1))
-        for li, (k1, v1) in enumerate(new_kvs):
-            cache = write_decode_token_layer(cache, li, k1, v1, inplace_slot)
+        scatter_first = history_mask is None and not use_fused_cached
+        if scatter_first:
+            # Scatter-before-attend (the reference's decode ordering,
+            # llama.py:564-587): each layer writes its token's KV, then the
+            # unique read covers history + own token. Every write is a
+            # dynamic-update-slice whose input buffer has no later reader of
+            # the pre-update value (layer li's read wants the POST-write
+            # slice; layer li+1's read follows li+1's own write), so XLA
+            # keeps the chain in place.
+            holder = {"cache": cache}
+            hl1 = None if history_lens is None else history_lens + 1
+            for li in range(cfg.num_hidden_layers):
+                xs_li = jax.tree.map(lambda a, li=li: a[li], xs)
+                h, _ = layer(h, xs_li, inplace_ctx=(li, holder, hl1))
+            cache = holder["cache"]
+        else:
+            # Masked (ring-pool) and fused paths keep the read-then-write
+            # flow: all reads of the original buffers precede the first
+            # write, which XLA also keeps in place.
+            new_kvs = []
+            for li in range(cfg.num_hidden_layers):
+                xs_li = jax.tree.map(lambda a, li=li: a[li], xs)
+                h, (k1, v1) = layer(h, xs_li)
+                new_kvs.append((k1, v1))
+            for li, (k1, v1) in enumerate(new_kvs):
+                cache = write_decode_token_layer(cache, li, k1, v1, inplace_slot)
         h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
         return h, cache
 

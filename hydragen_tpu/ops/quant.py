@@ -25,13 +25,18 @@ import jax.numpy as jnp
 
 
 class QuantizedTensor(NamedTuple):
-    """int8 payload + fp32 per-output-channel scale.
+    """int8 payload + bf16 per-output-channel scale.
 
     q: ``[..., out_features, in_features]`` int8 — stored TRANSPOSED
     relative to the logical ``[in, out]`` weight: with out-features on the
     sublane axis XLA's int8 matmul emitter streams the payload ~1.5x faster
     for skinny decode activations (measured 643 vs 438 GB/s on v5e).
-    scale: ``[..., out_features]`` float32.
+    scale: ``[..., out_features]`` bfloat16 — the payload is quantized
+    *against the bf16-rounded scale*, so storing bf16 costs no precision,
+    and the bf16 epilogue multiply keeps the whole dequant chain in bf16:
+    an f32 epilogue made XLA materialize transposed f32[b, out] relayout
+    copies before the downcast (~96 x 4 MB per 7B decode step, HLO-verified
+    round 3).
     """
 
     q: jax.Array
@@ -50,8 +55,13 @@ def quantize(w: jax.Array, axis: int = -2) -> QuantizedTensor:
     """
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    # Round the scale to bf16 FIRST and quantize against it: the stored
+    # bf16 scale is then exact (the int8 grid shifts by <0.4 %, absorbed by
+    # the rounding), so the bf16 epilogue multiply adds no error.
+    scale = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.bfloat16)
+    q = jnp.clip(
+        jnp.round(wf / scale.astype(jnp.float32)), -127, 127
+    ).astype(jnp.int8)
     return QuantizedTensor(
         q=jnp.swapaxes(q, -1, -2), scale=jnp.squeeze(scale, axis=axis)
     )
@@ -81,7 +91,10 @@ def qmatmul(x: jax.Array, w, subscripts: str) -> jax.Array:
     """
     if isinstance(w, QuantizedTensor):
         y = jnp.einsum(_swap_weight_term(subscripts), x, w.q.astype(x.dtype))
-        return (y * w.scale.astype(jnp.float32)[None, None, :]).astype(x.dtype)
+        # bf16 end to end: an f32 epilogue forced XLA to relayout the f32
+        # product for the next matmul before downcasting (transposed 4 MB
+        # copies per projection per decode step at 7B bs256).
+        return y * w.scale.astype(x.dtype)[None, None, :]
     return jnp.einsum(subscripts, x, w)
 
 

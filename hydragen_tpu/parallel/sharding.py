@@ -95,7 +95,14 @@ def cache_pspecs(cfg: ModelConfig, mesh: Mesh, cache: KVCache):
 
     if cache.unique_bshd:  # [L, B, U, hkv, hd]
         ukv = P(None, batch_shard, None, head_shard, None)
-        uscale = P(None, batch_shard, None, head_shard) if cache.quantized else None
+        if not cache.quantized:
+            uscale = None
+        elif cache.flat_scales:
+            # [L, B, S*hkv]: heads are folded into lanes — batch-shard only
+            # (the engine allocates 4D scales under head-sharding meshes).
+            uscale = P(None, batch_shard, None)
+        else:
+            uscale = P(None, batch_shard, None, head_shard)
     else:
         ukv = P(None, batch_shard, head_shard, None, None)
         uscale = P(None, batch_shard, head_shard, None) if cache.quantized else None
@@ -116,7 +123,7 @@ def cache_pspecs(cfg: ModelConfig, mesh: Mesh, cache: KVCache):
     return KVCache(
         unique_k=ukv, unique_v=ukv, shared=shared,
         unique_k_scale=uscale, unique_v_scale=uscale,
-        unique_bshd=cache.unique_bshd,
+        unique_bshd=cache.unique_bshd, flat_scales=cache.flat_scales,
     )
 
 

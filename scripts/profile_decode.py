@@ -1,0 +1,97 @@
+"""Profile the north-star decode step: per-op device-time breakdown.
+
+Builds the bench.py configuration (llama-2-7b int8+int8KV, bs 256, 2K shared
+prefix by default), runs the scanned decode hot loop, and prints the xplane
+per-op summary plus wall time per step. This is the round-3 tool for attacking
+the serial attention stack (VERDICT item 1).
+
+Usage: python scripts/profile_decode.py [--model llama-2-7b] [--bs 256]
+       [--shared 2048] [--new 64] [--steps 32] [--no-trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
+from hydragen_tpu.models.config import PRESETS
+from hydragen_tpu.models.llama import init_params
+from hydragen_tpu.utils.timing import _fence
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="llama-2-7b")
+    ap.add_argument("--bs", type=int, default=256)
+    ap.add_argument("--shared", type=int, default=2048)
+    ap.add_argument("--new", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--quant", default="int8")
+    ap.add_argument("--kv", default="int8")
+    ap.add_argument("--no-trace", action="store_true")
+    ap.add_argument("--top", type=int, default=30)
+    args = ap.parse_args()
+
+    cfg = PRESETS[args.model]
+    quant = None if args.quant in ("", "none") else args.quant
+    kv_quant = args.kv or None
+    params = init_params(cfg, jax.random.PRNGKey(0), quantized=quant == "int8")
+    engine = HydragenLlama(cfg, params, quantization=quant)
+
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, cfg.vocab_size, size=(1, args.shared)).astype(np.int32)
+
+    engine.setup_caches(
+        max_unique_batch_size=args.bs,
+        max_unique_seq_length=args.new,
+        max_shared_batch_sizes=[1],
+        max_shared_seq_lengths=[args.shared],
+        kv_quant=kv_quant,
+    )
+
+    def gen(steps):
+        return engine.generate(
+            input_ids=[prompt],
+            num_return_sequences=args.bs,
+            max_new_tokens=steps,
+            temperature=0.0,
+            shared_cache_op=SharedCacheOp.WIPE,
+        )
+
+    # Warm (compiles prefill + decode programs).
+    t0 = time.perf_counter()
+    _fence(gen(args.new))
+    print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f} s")
+
+    # Wall time per decode step: difference a short and a full decode run so
+    # prefill+sampling fixed costs cancel.
+    times = {}
+    for steps in (2, args.new):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _fence(gen(steps))
+            best = min(best, time.perf_counter() - t0)
+        times[steps] = best
+    per_step = (times[args.new] - times[2]) / (args.new - 2)
+    print(f"decode wall: {per_step*1e3:.2f} ms/step  "
+          f"({args.bs/per_step:.0f} tok/s decode-only)")
+
+    if not args.no_trace:
+        from hydragen_tpu.utils.profiling import print_op_summary, trace
+
+        with trace("/tmp/hydragen_trace_r3"):
+            _fence(gen(args.steps))
+        print_op_summary("/tmp/hydragen_trace_r3", top=args.top)
+
+
+if __name__ == "__main__":
+    main()

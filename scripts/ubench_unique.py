@@ -1,0 +1,104 @@
+"""Microbench: the decode unique-cache read at north-star shapes.
+
+Compares the XLA commuted-scale path against Pallas decode kernels at the
+exact 7B bs-256 decode shapes (q [256,32,1,128], KV int8 [256,64,32,128]
+BSHD + f32 scales). VERDICT r2 item 1: this read runs at 2x its 163 us/layer
+bandwidth floor on the XLA path — the round-3 target is a kernel that
+streams at bandwidth.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from hydragen_tpu.ops.reference import attention_bhsd
+from hydragen_tpu.utils.timing import timed_scanned
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=256)
+    ap.add_argument("--hq", type=int, default=32)
+    ap.add_argument("--hkv", type=int, default=32)
+    ap.add_argument("--s", type=int, default=64)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=400)
+    ap.add_argument("--which", default="xla,rowdec")
+    ap.add_argument("--chunks", type=lambda s: [int(x) for x in s.split(",")],
+                    default=[8])
+    args = ap.parse_args()
+
+    b, hq, hkv, s, d = args.b, args.hq, args.hkv, args.s, args.d
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    q = jax.random.normal(ks[0], (b, hq, 1, d), dtype=jnp.bfloat16)
+    k8 = jax.random.randint(ks[1], (b, s, hkv, d), -127, 128, dtype=jnp.int8)
+    v8 = jax.random.randint(ks[2], (b, s, hkv, d), -127, 128, dtype=jnp.int8)
+    kscale = jax.random.uniform(ks[3], (b, s, hkv), dtype=jnp.float32) * 0.02
+    vscale = jax.random.uniform(ks[4], (b, s, hkv), dtype=jnp.float32) * 0.02
+    lens = jnp.full((b,), s, dtype=jnp.int32)
+
+    payload_bytes = 2 * b * s * hkv * d + 4 * 2 * b * s * hkv
+    floor_us = payload_bytes / 820e9 * 1e6
+    print(f"payload {payload_bytes/1e6:.0f} MB -> bandwidth floor {floor_us:.0f} us @820GB/s")
+
+    which = args.which.split(",")
+
+    if "xla" in which:
+        def run_xla(q):
+            return attention_bhsd(
+                q, k8, v8, kv_seq_lens=lens, k_scale=kscale, v_scale=vscale,
+                kv_bshd=True,
+            )
+        t = timed_scanned(run_xla, (q,), num_iters=args.iters)
+        print(f"xla bshd commuted-scale: {t*1e6:9.1f} us  ({payload_bytes/t/1e9:.0f} GB/s)")
+
+    if "bhsd" in which:
+        kb = k8.transpose(0, 2, 1, 3)
+        vb = v8.transpose(0, 2, 1, 3)
+        ksb = kscale.transpose(0, 2, 1)
+        vsb = vscale.transpose(0, 2, 1)
+
+        def run_xla_bhsd(q):
+            return attention_bhsd(
+                q, kb, vb, kv_seq_lens=lens, k_scale=ksb, v_scale=vsb,
+            )
+        t = timed_scanned(run_xla_bhsd, (q,), num_iters=args.iters)
+        print(f"xla bhsd commuted-scale: {t*1e6:9.1f} us  ({payload_bytes/t/1e9:.0f} GB/s)")
+
+    if "rowdec" in which:
+        from hydragen_tpu.ops.decode import (
+            chunk_kv_scales, decode_attention_bshd, pick_head_chunk,
+        )
+
+        for c in args.chunks:
+            if hkv % c:
+                continue
+            ksc_c = jax.block_until_ready(chunk_kv_scales(kscale, c))
+            vsc_c = jax.block_until_ready(chunk_kv_scales(vscale, c))
+
+            def run_rowdec(q, c=c, ksc_c=ksc_c, vsc_c=vsc_c):
+                return decode_attention_bshd(
+                    q, k8, v8, kv_seq_lens=lens, k_scale=ksc_c, v_scale=vsc_c,
+                    scales_chunked=True, head_chunk=c,
+                )
+            o1, l1 = run_rowdec(q)
+            o0, l0 = attention_bhsd(
+                q, k8, v8, kv_seq_lens=lens, k_scale=kscale, v_scale=vscale,
+                kv_bshd=True,
+            )
+            od = float(jnp.max(jnp.abs(o1.astype(jnp.float32) - o0.astype(jnp.float32))))
+            ld = float(jnp.max(jnp.abs(l1 - l0)))
+            t = timed_scanned(run_rowdec, (q,), num_iters=args.iters)
+            print(f"pallas rowdec c={c:<3d}:     {t*1e6:9.1f} us  "
+                  f"({payload_bytes/t/1e9:.0f} GB/s)  dout={od:.4f} dlse={ld:.5f}")
+
+
+if __name__ == "__main__":
+    main()
