@@ -99,10 +99,10 @@ _sample_first = jax.jit(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "spec", "full_logits", "has_pad"),
+    static_argnames=("cfg", "spec", "full_logits", "has_pad", "mesh"),
     donate_argnames=("cache",),
 )
-def _shared_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, full_logits, has_pad):
+def _shared_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, full_logits, has_pad, mesh=None):
     b, t = input_ids.shape
     shared_lens = shared_len_for_batch(
         cache, spec.num_used_levels, b, spec.level_batch or None
@@ -114,7 +114,9 @@ def _shared_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, full_log
         local_pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)).astype(jnp.int32)
     pos = shared_lens[:, None] + local_pos
 
-    hidden, nk, nv = model_forward(params, cfg, cache, input_ids, pos, local_pos, spec)
+    hidden, nk, nv = model_forward(
+        params, cfg, cache, input_ids, pos, local_pos, spec, mesh=mesh
+    )
     cache = fill_shared_level(cache, spec.num_used_levels, nk, nv, seq_lens)
     logits = logits_from_hidden(
         params, cfg, hidden, seq_lens if has_pad else None, full_logits
@@ -124,10 +126,10 @@ def _shared_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, full_log
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "spec", "has_pad"),
+    static_argnames=("cfg", "spec", "has_pad", "mesh"),
     donate_argnames=("cache",),
 )
-def _unique_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, has_pad):
+def _unique_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, has_pad, mesh=None):
     b, t = input_ids.shape
     shared_lens = shared_len_for_batch(
         cache, spec.num_used_levels, b, spec.level_batch or None
@@ -144,7 +146,7 @@ def _unique_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, has_pad)
 
     hidden, nk, nv = model_forward(
         params, cfg, cache, input_ids, pos, unique_pos, spec,
-        history_lens=history_lens,
+        history_lens=history_lens, mesh=mesh,
     )
     if spec.disable_hydragen:
         # All rows share one prefix length (enforced by generate): contiguous
@@ -483,7 +485,7 @@ class HydragenLlama:
         )
         logits, self.cache = _shared_prefill_step(
             self.params, self.cache, input_ids, seq_lens, self.config, spec,
-            full_logits, has_pad,
+            full_logits, has_pad, mesh=self.mesh,
         )
         self.num_used_levels += 1
         self.level_filled.append(t)
@@ -506,7 +508,8 @@ class HydragenLlama:
             unique_history=self._disable_hydragen and self.num_used_levels > 0,
         )
         logits, self.cache = _unique_prefill_step(
-            self.params, self.cache, input_ids, seq_lens, self.config, spec, has_pad
+            self.params, self.cache, input_ids, seq_lens, self.config, spec,
+            has_pad, mesh=self.mesh,
         )
         return logits
 

@@ -219,19 +219,48 @@ class ForwardSpec(NamedTuple):
 
 
 def resolve_forward_impl(spec: ForwardSpec) -> str:
-    """Attention impl actually used by model_forward for this spec.
+    """Attention impl used by model_forward's *inline* calls for this spec.
 
-    Under GSPMD sharding every attention call routes to XLA: a pallas_call is
-    an opaque custom call the partitioner cannot split, so letting
-    ``impl="auto"`` pick Pallas on a sharded operand would force replication
-    (or fail to compile). The sp/tp-sharded large-prefill path therefore runs
-    the XLA kernel, whose einsum+softmax GSPMD partitions exactly
-    (ref semantics anchor: tp.py:84-112).
+    Under GSPMD sharding the inline calls route to XLA: a pallas_call is an
+    opaque custom call the partitioner cannot split. Large sharded calls
+    keep the Pallas kernels anyway — via explicit ``shard_map`` wrappers
+    (parallel/shard_attn.py) dispatched separately in the layer body, with
+    sp partials merged by the exact LSE algebra (ref semantics anchor: flash
+    kernels under TP, tp.py:84-112).
     """
     impl = _pick_impl(spec.impl)
     if spec.sharded and impl != "xla":
         return "xla"
     return impl
+
+
+def _mesh_level_attn_ok(mesh, spec: ForwardSpec, b, hq, hkv, sb, s, m) -> bool:
+    """Route this shared-level read through the shard_map'd Pallas kernel?
+
+    Same shape thresholds as ``_pick_impl``'s auto rule, applied to the
+    PER-SHARD fold (local M = group * (b/dp/sb) * m, local S = s/sp)."""
+    if mesh is None or not spec.sharded or spec.impl == "xla":
+        return False
+    from hydragen_tpu.parallel.shard_attn import mesh_attention_eligible
+
+    if not mesh_attention_eligible(mesh, b, hq, hkv, sb, s):
+        return False
+    dp = mesh.shape["dp"] if "dp" in mesh.axis_names else 1
+    sp = mesh.shape["sp"] if "sp" in mesh.axis_names else 1
+    m_loc = (hq // hkv) * (b // dp // sb) * m
+    s_loc = s // sp
+    return (m_loc >= 256 and s_loc >= 1024) or (m_loc >= 128 and s_loc >= 8192)
+
+
+def _mesh_causal_attn_ok(mesh, spec: ForwardSpec, b, hq, hkv, t) -> bool:
+    if mesh is None or not spec.sharded or spec.impl == "xla":
+        return False
+    dp = mesh.shape["dp"] if "dp" in mesh.axis_names else 1
+    tp = mesh.shape["tp"] if "tp" in mesh.axis_names else 1
+    if b % dp or hq % tp or hkv % tp:
+        return False
+    m_loc = (hq // hkv) * t
+    return m_loc >= 256 and t >= 1024
 
 
 def model_forward(
@@ -245,6 +274,7 @@ def model_forward(
     history_lens: jax.Array | None = None,
     history_mask: jax.Array | None = None,
     inplace_slot: jax.Array | None = None,
+    mesh=None,
 ):
     """Run the decoder stack in one of the three cache modes.
 
@@ -379,16 +409,16 @@ def model_forward(
         and history_mask is None
         and not spec.sharded
         and spec.impl != "xla"
-        and cfg.head_dim <= 128
+        and cfg.head_dim % 128 == 0
         and jax.default_backend() == "tpu"
     )
 
-    def layer(h, xs, inplace_ctx=None):
-        """inplace_ctx = (li:int, holder:{"cache"}, hl1) activates the
-        scatter-before-attend decode flow: this layer's single token is
-        written into the cache FIRST, then the unique read covers history
-        + own token (the reference's decode ordering, llama.py:564-587) —
-        dropping the analytic own-token partial and one combine input."""
+    def layer(h, xs):
+        # NB: scatter-before-attend (write each layer's token, then read
+        # history+own from the cache — the reference's decode ordering,
+        # llama.py:564-587) was tried and reverted: it serialized the
+        # unique-cache DMA behind the same layer's qkv matmul and cost
+        # ~4 ms/step at 7B bs256. Reads stay prefetchable; writes follow.
         (li, wq, wk, wv, wo, gate, up, down, in_n, post_n, biases, lvl_kv, ukv) = xs
         resid = h
         x = rms_norm(h, in_n, cfg.rms_norm_eps)
@@ -406,14 +436,6 @@ def model_forward(
 
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-
-        if inplace_ctx is not None:
-            from hydragen_tpu.core.cache import write_decode_token_layer
-
-            li_i, holder, hl1 = inplace_ctx
-            holder["cache"] = write_decode_token_layer(
-                holder["cache"], li_i, k, v, inplace_slot
-            )
 
         if spec.disable_attention:
             attn = q
@@ -441,6 +463,23 @@ def model_forward(
                 if not spec.disable_hydragen:
                     for (lk, lv_), lens in zip(lvl_kv, level_lens):
                         sb = lk[0].shape[0]
+                        s_lvl = lk[0].shape[2]
+                        if _mesh_level_attn_ok(
+                            mesh, spec, b, nh, nkv, sb, s_lvl, t
+                        ):
+                            # shard_map'd Pallas kernel: fold + kernel run
+                            # per (dp, sp, tp) shard, exact LSE merge over
+                            # sp (parallel/shard_attn.py).
+                            from hydragen_tpu.parallel.shard_attn import (
+                                sharded_level_attention,
+                            )
+
+                            o, l = sharded_level_attention(
+                                q, lk, lv_, lens, mesh=mesh
+                            )
+                            outs.append(o)
+                            lses.append(l)
+                            continue
                         bq_ = fold_queries_for_shared(q, sb)
                         # (payload, scale) pairs pass through: the Pallas
                         # kernels dequantize in-register; XLA fuses the
@@ -451,92 +490,71 @@ def model_forward(
                         )
                         outs.append(unfold_shared_out(o, b, t))
                         lses.append(unfold_shared_lse(l, b, t))
-                if inplace_ctx is not None:
-                    # Scatter-before-attend: read THIS layer's slice of the
-                    # just-updated cache; the token above is in-range.
-                    cch = holder["cache"]
-                    U = spec.unique_filled
-                    if cch.unique_bshd:
-                        uk_p = cch.unique_k[li_i, :b, :U]
-                        uv_p = cch.unique_v[li_i, :b, :U]
-                    else:
-                        uk_p = cch.unique_k[li_i, :b, :, :U]
-                        uv_p = cch.unique_v[li_i, :b, :, :U]
-                    if cch.quantized:
-                        if cch.flat_scales:
-                            uk_s = cch.unique_k_scale[li_i, :b, : U * nkv]
-                            uv_s = cch.unique_v_scale[li_i, :b, : U * nkv]
-                        elif cch.unique_bshd:
-                            uk_s = cch.unique_k_scale[li_i, :b, :U]
-                            uv_s = cch.unique_v_scale[li_i, :b, :U]
-                        else:
-                            uk_s = cch.unique_k_scale[li_i, :b, :, :U]
-                            uv_s = cch.unique_v_scale[li_i, :b, :, :U]
-                    else:
-                        uk_s = uv_s = None
-                    if use_dec_kernel and cch.quantized:
-                        from hydragen_tpu.ops.decode import (
-                            decode_attention_bshd,
-                        )
-
-                        o, l = decode_attention_bshd(
-                            q, uk_p, uv_p, kv_seq_lens=hl1,
-                            k_scale=uk_s.reshape(b, 1, U * nkv),
-                            v_scale=uv_s.reshape(b, 1, U * nkv),
-                            scales_chunked=True,
-                        )
-                    else:
-                        if uk_s is not None and cch.flat_scales:
-                            uk_s = uk_s.reshape(b, U, nkv)
-                            uv_s = uv_s.reshape(b, U, nkv)
-                        o, l = _attention(
-                            q, (uk_p, uk_s), (uv_p, uv_s), causal=False,
-                            kv_seq_lens=hl1, impl=impl,
-                            kv_bshd=cch.unique_bshd,
-                        )
-                    outs.append(o)
-                    lses.append(l)
-                elif ukv is not None:
+                if ukv is not None:
                     uks = ukv[0][1]
                     uvs = ukv[1][1]
-                    if uks is not None and cache.flat_scales:
-                        # Per-layer flat slice [b, U*nkv] -> the XLA path's
-                        # [b, U, nkv] view (rare combo: flat cache off the
-                        # scatter-first path).
-                        U = spec.unique_filled
-                        uks = uks.reshape(b, U, nkv)
-                        uvs = uvs.reshape(b, U, nkv)
-                    o, l = _attention(
-                        q, (ukv[0][0], uks) if uks is not None else ukv[0],
-                        (ukv[1][0], uvs) if uvs is not None else ukv[1],
-                        causal=False,
-                        kv_seq_lens=None if history_mask is not None else history_lens,
-                        kv_mask=history_mask, impl=impl,
-                        kv_bshd=cache.unique_bshd,
-                    )
+                    if (
+                        use_dec_kernel
+                        and uks is not None
+                        and t == 1
+                    ):
+                        # Int8 MXU decode kernel reading straight out of the
+                        # stacked cache buffers (layer picked by scalar
+                        # prefetch): feeding per-layer slices instead made
+                        # XLA materialize the whole 67 MB slice per operand
+                        # per layer (~13 ms/step at 7B bs256).
+                        from hydragen_tpu.ops.decode import (
+                            decode_attention_cached,
+                        )
+
+                        o, l = decode_attention_cached(
+                            li, q, cache.unique_k, cache.unique_v,
+                            kv_seq_lens=history_lens,
+                            k_scale_all=cache.unique_k_scale,
+                            v_scale_all=cache.unique_v_scale,
+                        )
+                    else:
+                        if uks is not None and cache.flat_scales:
+                            # Per-layer flat slice [b, U*nkv] -> the XLA
+                            # path's [b, U, nkv] view.
+                            U = spec.unique_filled
+                            uks = uks.reshape(b, U, nkv)
+                            uvs = uvs.reshape(b, U, nkv)
+                        o, l = _attention(
+                            q, (ukv[0][0], uks) if uks is not None else ukv[0],
+                            (ukv[1][0], uvs) if uvs is not None else ukv[1],
+                            causal=False,
+                            kv_seq_lens=None if history_mask is not None else history_lens,
+                            kv_mask=history_mask, impl=impl,
+                            kv_bshd=cache.unique_bshd,
+                        )
                     outs.append(o)
                     lses.append(l)
-            # Causal self-attention over the current input's KV — the
-            # scatter-first flow already covered the own token above.
-            if inplace_ctx is None:
-                if t == 1:
-                    # Decode: softmax over a single own-token KV is the
-                    # identity — out = v, lse = q·k·scale. Computing this
-                    # analytically avoids a per-layer kernel launch.
-                    scale = 1.0 / math.sqrt(hd)
-                    group = nh // nkv
-                    qg = q.astype(jnp.float32).reshape(b, nkv, group, 1, hd)
-                    kf = k.astype(jnp.float32)
-                    l = (
-                        jnp.einsum("bkgmd,bkmd->bkgm", qg, kf) * scale
-                    ).reshape(b, nh, 1)
-                    o = jnp.broadcast_to(
-                        v[:, :, None], (b, nkv, group, 1, hd)
-                    ).reshape(b, nh, 1, hd).astype(q.dtype)
-                else:
-                    o, l = _attention(q, k, v, causal=True, kv_seq_lens=None, impl=impl)
-                outs.append(o)
-                lses.append(l)
+            # Causal self-attention over the current input's KV.
+            if t == 1:
+                # Decode: softmax over a single own-token KV is the
+                # identity — out = v, lse = q·k·scale. Computing this
+                # analytically avoids a per-layer kernel launch.
+                scale = 1.0 / math.sqrt(hd)
+                group = nh // nkv
+                qg = q.astype(jnp.float32).reshape(b, nkv, group, 1, hd)
+                kf = k.astype(jnp.float32)
+                l = (
+                    jnp.einsum("bkgmd,bkmd->bkgm", qg, kf) * scale
+                ).reshape(b, nh, 1)
+                o = jnp.broadcast_to(
+                    v[:, :, None], (b, nkv, group, 1, hd)
+                ).reshape(b, nh, 1, hd).astype(q.dtype)
+            elif _mesh_causal_attn_ok(mesh, spec, b, nh, nkv, t):
+                from hydragen_tpu.parallel.shard_attn import (
+                    sharded_causal_attention,
+                )
+
+                o, l = sharded_causal_attention(q, k, v, mesh=mesh)
+            else:
+                o, l = _attention(q, k, v, causal=True, kv_seq_lens=None, impl=impl)
+            outs.append(o)
+            lses.append(l)
             attn = combine_lse(outs, lses)
 
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
@@ -573,36 +591,22 @@ def model_forward(
     )
 
     if inplace_slot is not None:
-        # Decode fast path: Python loop, fully static per-layer slices.
+        # Decode fast path: Python loop (fully static per-layer slices), new
+        # KVs written per layer AFTER the loop. All reads hit the original
+        # buffers (this step's token is never in its own history), so the
+        # buffers' last use precedes the first update and XLA keeps every
+        # dynamic-update-slice in place — and the unique-cache reads stay
+        # free to prefetch ahead of the layer's matmuls.
         assert t == 1, "inplace_slot is a single-token decode path"
         from hydragen_tpu.core.cache import write_decode_token_layer
 
-        scatter_first = history_mask is None and not use_fused_cached
-        if scatter_first:
-            # Scatter-before-attend (the reference's decode ordering,
-            # llama.py:564-587): each layer writes its token's KV, then the
-            # unique read covers history + own token. Every write is a
-            # dynamic-update-slice whose input buffer has no later reader of
-            # the pre-update value (layer li's read wants the POST-write
-            # slice; layer li+1's read follows li+1's own write), so XLA
-            # keeps the chain in place.
-            holder = {"cache": cache}
-            hl1 = None if history_lens is None else history_lens + 1
-            for li in range(cfg.num_hidden_layers):
-                xs_li = jax.tree.map(lambda a, li=li: a[li], xs)
-                h, _ = layer(h, xs_li, inplace_ctx=(li, holder, hl1))
-            cache = holder["cache"]
-        else:
-            # Masked (ring-pool) and fused paths keep the read-then-write
-            # flow: all reads of the original buffers precede the first
-            # write, which XLA also keeps in place.
-            new_kvs = []
-            for li in range(cfg.num_hidden_layers):
-                xs_li = jax.tree.map(lambda a, li=li: a[li], xs)
-                h, (k1, v1) = layer(h, xs_li)
-                new_kvs.append((k1, v1))
-            for li, (k1, v1) in enumerate(new_kvs):
-                cache = write_decode_token_layer(cache, li, k1, v1, inplace_slot)
+        new_kvs = []
+        for li in range(cfg.num_hidden_layers):
+            xs_li = jax.tree.map(lambda a, li=li: a[li], xs)
+            h, (k1, v1) = layer(h, xs_li)
+            new_kvs.append((k1, v1))
+        for li, (k1, v1) in enumerate(new_kvs):
+            cache = write_decode_token_layer(cache, li, k1, v1, inplace_slot)
         h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
         return h, cache
 

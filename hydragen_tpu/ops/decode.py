@@ -3,7 +3,7 @@
 The round-3 attack on the north-star serial stack (VERDICT r2 item 1): at 7B
 batch-256 decode, the unique-cache read ran ~2x its HBM bandwidth floor on
 the XLA commuted-scale path. This kernel streams each row's int8 KV exactly
-once, in the cache's native BSHD layout (``[b, s, hkv, d]`` — the layout
+once, in the cache's native BSHD layout (``[L, b, s, hkv, d]`` — the layout
 whose single-token decode writes are tile-exact), and keeps BOTH attention
 matmuls on the MXU's *native int8 path*.
 
@@ -13,22 +13,32 @@ Design drivers (all measured on v5e, see docs/results_v5e.md):
   ~116 TOP/s, while converting the int8 payload to bf16 first costs
   ~585 G elem/s on the VPU — at the 7B shapes the payload conversion alone
   (~134 M elem/layer) would exceed the whole read's DMA floor. So the
-  *small* operands are quantized instead (q per (row, head-chunk); softmax
-  probabilities per row) and K/V are never converted.
+  *small* operands are quantized instead — q per row (in-kernel, one scalar
+  scale) and the softmax probabilities per row — and K/V are never
+  converted.
 - **Head batching**: all of a row's kv heads ride one dot — q ``[hq, d]``
   against the row's KV block flattened to ``[block_s*hkv, d]``. Only
   ``col % hkv == row // group`` score entries are meaningful; the redundant
   MXU FLOPs are free (the read is bandwidth-bound).
 - **Row batching**: grid-cell overhead measured ~0.5 us/cell, so one cell
-  processes ``row_batch`` rows with an in-kernel loop over per-row dots
-  (NOT one giant cross-row dot — that would square the score redundancy).
-  Measured ladder at b=256/hkv=32/s=64: 1024 cells 622 us -> 256 cells
-  270 us -> 64 cells ~180 us vs 336 us for the XLA path, 169 us floor.
-- **Lane-major chunked scales**: per-token dequant scales are stored
-  ``[b, hkv/c, s*c]`` (token-major, head-minor — the score-column order) so
-  the in-kernel commute is one broadcast multiply. The ``[b, s, hkv]``
-  layout pads hkv up to the 128-lane tile (4x scale bandwidth at hkv=32)
-  and would need an illegal sublane->lane reshape in-kernel.
+  processes ``row_batch`` rows with an in-kernel ``fori_loop`` over per-row
+  dots (NOT one giant cross-row dot — that would square the score
+  redundancy; and NOT a Python unroll — an 8-row unroll took ~20 min of
+  Mosaic compile). Measured ladder at b=256/hkv=32/s=64: 1024 cells 622 us
+  -> 256 cells 270 us -> 32 cells ~222 us vs 336 us for the XLA path,
+  169 us floor.
+- **Whole-cache operands, layer picked by scalar prefetch**: the model
+  passes the UNSLICED ``[L, ...]`` cache buffers and the layer index rides
+  scalar prefetch into the BlockSpec index maps. Feeding per-layer slices
+  instead made XLA materialize the whole 67 MB slice as a fusion output
+  per operand per layer (~13 ms/step at 7B bs256, xplane-verified) just to
+  stage the pallas operand.
+- **Lane-major flat scales**: per-token dequant scales arrive
+  ``[L, b, s*hkv]`` (token-major, head-minor — the score-column order), the
+  engine cache's native storage (core/cache.py flat_scales), so the dequant
+  commute is one broadcast multiply. The ``[b, s, hkv]`` layout pads hkv up
+  to the 128-lane tile (4x scale bandwidth at hkv=32) and would need an
+  illegal sublane->lane reshape in-kernel.
 - The probability quantization (p*vscale -> s8 against a per-row max) adds
   ~0.4 % RMS noise — the same order as the int8 KV quantization itself; the
   ce-delta quality gate (scripts/quality.py) is the arbiter, and
@@ -55,9 +65,9 @@ from hydragen_tpu.ops.flash import LANES, NEG_CLAMP, NEG_INF, _round_up
 def chunk_kv_scales(scale: jax.Array, c: int) -> jax.Array:
     """[..., s, hkv] f32 -> [..., hkv/c, s*c] lane-major chunk layout.
 
-    Element (j, t*c + i) holds scale(token t, kv head j*c + i). The engine
-    stores unique-cache scales in this layout directly (core/cache.py);
-    this helper is the conversion for one-shot callers and tests.
+    Element (j, t*c + i) holds scale(token t, kv head j*c + i). With
+    ``c == hkv`` (the shipped configuration) this is a pure trailing-dims
+    merge — exactly the engine's flat_scales storage minus the unit dim.
     """
     *lead, s, hkv = scale.shape
     assert hkv % c == 0
@@ -75,16 +85,16 @@ def unchunk_kv_scales(chunked: jax.Array, c: int) -> jax.Array:
     return x.reshape(*lead, s, nc * c)
 
 
-def _decode_int8_kernel(
+def _decode_cached_kernel(
     lens_ref,    # scalar prefetch: [b] int32 kv lengths
-    qscale_ref,  # scalar prefetch: [b, nc] f32 per-(row, chunk) q scales
-    q_ref,       # [R, 1, cg, dp] int8
-    k_ref,       # [R, block_s, c, dp] int8
-    v_ref,       # [R, block_s, c, dp] int8
-    kscale_ref,  # [R, 1, 1, block_s*c] f32
-    vscale_ref,  # [R, 1, 1, block_s*c] f32
-    o_ref,       # [R, 1, cg, dp]
-    lse_ref,     # [R, 1, cg, LANES] f32
+    li_ref,      # scalar prefetch: [1] int32 layer index (used in index maps)
+    q_ref,       # [R, cg, dp] float (bf16/f32)
+    k_ref,       # [1, R, block_s, c, dp] int8
+    v_ref,       # [1, R, block_s, c, dp] int8
+    kscale_ref,  # [1, R, block_s*c] f32
+    vscale_ref,  # [1, R, block_s*c] f32
+    o_ref,       # [R, cg, dp]
+    lse_ref,     # [R, cg, LANES] f32
     m_scr, l_scr, acc_scr,   # [R*cg, ...]
     *,
     c: int,
@@ -92,10 +102,10 @@ def _decode_int8_kernel(
     rows: int,
     block_s: int,
     num_s_blocks: int,
+    sm_scale: float,
 ):
     bi = pl.program_id(0)
-    ji = pl.program_id(1)
-    si = pl.program_id(2)
+    si = pl.program_id(1)
     cg = c * group
     W = block_s * c
 
@@ -107,73 +117,86 @@ def _decode_int8_kernel(
 
     block_start = si * block_s
 
-    # Trace-time constants shared by all rows.
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (cg, W), 1) % c
-    row_kv = jax.lax.broadcasted_iota(jnp.int32, (cg, W), 0) // group
-    diag = col_head == row_kv
-    col_tok = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) // c
-
+    # The whole cell is skipped only when EVERY row is out of range; rows
+    # individually out of range are handled by the length bias (their
+    # blocks become all-masked no-ops in the online softmax).
+    limit_max = jnp.int32(0)
     for r in range(rows):
-        limit = lens_ref[bi * rows + r]
+        limit_max = jnp.maximum(limit_max, lens_ref[bi * rows + r])
 
-        @pl.when(block_start < limit)
-        def _compute(r=r, limit=limit):
+    @pl.when(block_start < limit_max)
+    def _compute():
+        # Trace-time constants shared by all rows.
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (cg, W), 1) % c
+        row_kv = jax.lax.broadcasted_iota(jnp.int32, (cg, W), 0) // group
+        diag = col_head == row_kv
+        col_tok = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) // c
+
+        # fori_loop (not a Python unroll): the body compiles ONCE, keeping
+        # Mosaic compile time flat in `rows`.
+        def body(r, _):
             lo = r * cg
-            q8 = q_ref[r, 0]                               # [cg, dp] s8
-            k2 = k_ref[r].reshape(W, k_ref.shape[-1])      # [W, dp] s8
+            limit = lens_ref[bi * rows + r]
+            # In-kernel q quantization: one scalar scale per row (cheap —
+            # q is [cg, dp]); doing this in XLA cost a multi-pass prologue
+            # per layer.
+            qf = q_ref[r].astype(jnp.float32) * sm_scale
+            qmax = jnp.max(jnp.abs(qf))
+            qs = jnp.maximum(qmax, 1e-20) / 127.0
+            q8 = jnp.round(qf / qs).astype(jnp.int8)
+
+            k2 = k_ref[0, r].reshape(W, k_ref.shape[-1])   # [W, dp] s8
             s_i = jax.lax.dot_general(
                 q8, k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )                                              # [cg, W] i32
-            qs = qscale_ref[bi * rows + r, ji]
-            s = s_i.astype(jnp.float32) * (kscale_ref[r, 0, 0] * qs)
+            ks_row = kscale_ref[0, pl.ds(r, 1)]            # [1, W]
+            s = s_i.astype(jnp.float32) * (ks_row * qs)
 
             lenbias = jnp.where(block_start + col_tok < limit, 0.0, NEG_INF)
             s = jnp.where(diag, s + lenbias, NEG_INF)
 
-            m_prev = m_scr[lo : lo + cg, 0:1]
-            l_prev = l_scr[lo : lo + cg, 0:1]
+            m_prev = m_scr[pl.ds(lo, cg), 0:1]
+            l_prev = l_scr[pl.ds(lo, cg), 0:1]
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)
             p = jnp.exp(s - jnp.maximum(m_next, NEG_CLAMP))  # masked -> 0
             l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            m_scr[lo : lo + cg] = jnp.broadcast_to(m_next, (cg, LANES))
-            l_scr[lo : lo + cg] = jnp.broadcast_to(l_next, (cg, LANES))
+            m_scr[pl.ds(lo, cg)] = jnp.broadcast_to(m_next, (cg, LANES))
+            l_scr[pl.ds(lo, cg)] = jnp.broadcast_to(l_next, (cg, LANES))
 
             # PV on the int8 MXU: fold the per-token v scale into p, then
             # re-quantize p against its per-row max (<=0.5/127 relative
             # noise — the int8-KV error's own order).
-            pv = p * vscale_ref[r, 0, 0]                   # [cg, W]
+            pv = p * vscale_ref[0, pl.ds(r, 1)]            # [cg, W]
             pmax = jnp.max(pv, axis=1, keepdims=True)
             pmax_safe = jnp.where(pmax <= 0.0, 1.0, pmax)
             pq = jnp.round(pv * (127.0 / pmax_safe)).astype(jnp.int8)
-            v2 = v_ref[r].reshape(W, v_ref.shape[-1])      # [W, dp] s8
+            v2 = v_ref[0, r].reshape(W, v_ref.shape[-1])   # [W, dp] s8
             o_i = jax.lax.dot_general(
                 pq, v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )                                              # [cg, dp] i32
             o_f = o_i.astype(jnp.float32) * (pmax_safe / 127.0)
-            acc_scr[lo : lo + cg] = acc_scr[lo : lo + cg] * alpha + o_f
+            acc_scr[pl.ds(lo, cg)] = acc_scr[pl.ds(lo, cg)] * alpha + o_f
+            return 0
+
+        jax.lax.fori_loop(0, rows, body, 0, unroll=False)
 
     @pl.when(si == num_s_blocks - 1)
     def _emit():
-        for r in range(rows):
+        def ebody(r, _):
             lo = r * cg
-            l = l_scr[lo : lo + cg, 0:1]
+            l = l_scr[pl.ds(lo, cg), 0:1]
             l_safe = jnp.where(l == 0.0, 1.0, l)
-            o_ref[r, 0] = (acc_scr[lo : lo + cg] / l_safe).astype(o_ref.dtype)
-            m = m_scr[lo : lo + cg, 0:1]
+            o_ref[r] = (acc_scr[pl.ds(lo, cg)] / l_safe).astype(o_ref.dtype)
+            m = m_scr[pl.ds(lo, cg), 0:1]
             lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
-            lse_ref[r, 0] = jnp.broadcast_to(lse, (cg, LANES)).astype(
-                jnp.float32
-            )
+            lse_ref[r] = jnp.broadcast_to(lse, (cg, LANES)).astype(jnp.float32)
+            return 0
 
-
-def pick_head_chunk(hkv: int) -> int:
-    """Heads per dot: all of them — score redundancy is cheaper than grid
-    cells (measured ladder in the module docstring)."""
-    return hkv
+        jax.lax.fori_loop(0, rows, ebody, 0, unroll=False)
 
 
 def pick_row_batch(b: int, s: int, hkv: int, d: int, block_s: int) -> int:
@@ -189,9 +212,129 @@ def pick_row_batch(b: int, s: int, hkv: int, d: int, block_s: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_s", "head_chunk", "row_batch",
-                     "interpret", "scales_chunked"),
+    static_argnames=("scale", "block_s", "row_batch", "interpret"),
 )
+def decode_attention_cached(
+    layer: jax.Array,
+    q: jax.Array,
+    k_all: jax.Array,
+    v_all: jax.Array,
+    *,
+    kv_seq_lens: jax.Array,
+    k_scale_all: jax.Array,
+    v_scale_all: jax.Array,
+    scale: float | None = None,
+    block_s: int | None = None,
+    row_batch: int | None = None,
+    interpret: bool | None = None,
+):
+    """Int8 decode attention reading ONE layer of the stacked BSHD cache.
+
+    Args:
+        layer: scalar int32 — which layer's slice to attend (rides scalar
+            prefetch into the BlockSpec index maps, so the operands are the
+            raw cache buffers and no per-layer slice is ever materialized).
+        q: ``[b, hq, 1, d]`` queries (bf16/f32; quantized in-kernel per row,
+            ~0.3 % score noise).
+        k_all, v_all: ``[L, B, S, hkv, d]`` **int8** cache buffers (B >= b).
+        kv_seq_lens: ``[b]`` int32 valid lengths. Payload/scales beyond each
+            row's length must be finite (the engine's caches are zeroed).
+        k_scale_all, v_scale_all: ``[L, B, S*hkv]`` f32 flat lane-major
+            scales (the cache's flat_scales storage).
+
+    Returns:
+        out ``[b, hq, 1, d]`` (q.dtype), lse ``[b, hq, 1]`` f32. Matches
+        ``ops.reference.attention_bhsd(..., kv_bshd=True)`` on the layer's
+        slice, up to int8 quantization noise of q and p (~0.5 % RMS).
+    """
+    b, hq, m, d = q.shape
+    L, B, S, hkv, _ = k_all.shape
+    assert m == 1, "decode kernel handles single-position queries"
+    assert hq % hkv == 0
+    assert k_all.dtype == jnp.int8 and v_all.dtype == jnp.int8
+    assert b <= B
+    group = hq // hkv
+    c = hkv
+    cg = c * group
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    dp = max(_round_up(d, LANES), LANES)
+    assert d == dp, "head_dim must be a 128-lane multiple for the cached kernel"
+    if block_s is None:
+        # Largest divisor of S within the VMEM-friendly target whose scale
+        # block (block_s*hkv lanes) stays a 128-multiple (or covers S).
+        target = min(S, max(8, 4096 // hkv))
+        block_s = next(
+            t for t in range(target, 0, -1)
+            if S % t == 0 and ((t * hkv) % LANES == 0 or t == S)
+        )
+    num_s_blocks = -(-S // block_s)
+    assert S % block_s == 0, f"cache S={S} must tile by block_s={block_s}"
+    R = row_batch or pick_row_batch(b, S, hkv, d, block_s)
+    assert b % R == 0, f"row_batch {R} must divide batch {b}"
+
+    qf = q.reshape(b, hq, d)
+    lens = jnp.minimum(kv_seq_lens.astype(jnp.int32), S)
+    li = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    def last_block(lens_ref, bi, rows=R):
+        lim = lens_ref[bi * rows]
+        for r in range(1, rows):
+            lim = jnp.maximum(lim, lens_ref[bi * rows + r])
+        return jnp.maximum((lim + block_s - 1) // block_s - 1, 0)
+
+    def kv_index(bi, si, lens_ref, li_ref):
+        return (li_ref[0], bi, jnp.minimum(si, last_block(lens_ref, bi)), 0, 0)
+
+    def sc_index(bi, si, lens_ref, li_ref):
+        return (li_ref[0], bi, jnp.minimum(si, last_block(lens_ref, bi)))
+
+    kernel = functools.partial(
+        _decode_cached_kernel,
+        c=c, group=group, rows=R, block_s=block_s,
+        num_s_blocks=num_s_blocks, sm_scale=scale,
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b // R, num_s_blocks),
+            in_specs=[
+                pl.BlockSpec((R, cg, dp), lambda bi, si, *_: (bi, 0, 0)),
+                pl.BlockSpec((1, R, block_s, c, dp), kv_index),
+                pl.BlockSpec((1, R, block_s, c, dp), kv_index),
+                pl.BlockSpec((1, R, block_s * c), sc_index),
+                pl.BlockSpec((1, R, block_s * c), sc_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((R, cg, dp), lambda bi, si, *_: (bi, 0, 0)),
+                pl.BlockSpec((R, cg, LANES), lambda bi, si, *_: (bi, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((R * cg, LANES), jnp.float32),
+                pltpu.VMEM((R * cg, LANES), jnp.float32),
+                pltpu.VMEM((R * cg, dp), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cg, dp), q.dtype),
+            jax.ShapeDtypeStruct((b, cg, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, li, qf, k_all, v_all, k_scale_all, v_scale_all)
+
+    out = out.reshape(b, hq, m, d)
+    lse = lse[:, :, 0].reshape(b, hq, m)
+    return out.astype(q.dtype), lse
+
+
 def decode_attention_bshd(
     q: jax.Array,
     k: jax.Array,
@@ -202,121 +345,29 @@ def decode_attention_bshd(
     v_scale: jax.Array,
     scale: float | None = None,
     block_s: int | None = None,
-    head_chunk: int | None = None,
     row_batch: int | None = None,
     interpret: bool | None = None,
     scales_chunked: bool = False,
 ):
-    """Int8 decode attention over a BSHD KV cache, one launch per layer.
+    """Single-layer convenience wrapper over ``decode_attention_cached``.
 
-    Args:
-        q: ``[b, hq, 1, d]`` queries (any float dtype; quantized to int8
-            per (row, head-chunk) internally — ~0.3 % score noise).
-        k, v: ``[b, s, hkv, d]`` **int8** payloads (the unique cache's
-            write-optimal layout).
-        kv_seq_lens: ``[b]`` int32 valid lengths. Payload and scales beyond
-            each row's length MUST be zero (true for the engine's
-            zero-initialized caches); masked columns are handled via the
-            score mask regardless, but NaN payloads would poison the dots.
-        k_scale, v_scale: per-token dequant scales — ``[b, s, hkv]`` f32, or
-            the kernel-native chunk layout ``[b, hkv/c, s*c]`` when
-            ``scales_chunked`` (how the engine stores them; see
-            chunk_kv_scales).
-        head_chunk: kv heads per dot (default hkv — all).
-        row_batch: rows per grid cell (default by VMEM budget).
-
-    Returns:
-        out ``[b, hq, 1, d]`` (q.dtype), lse ``[b, hq, 1]`` f32. Matches
-        ``ops.reference.attention_bhsd(..., kv_bshd=True)`` up to int8
-        quantization noise of q and p (~0.5 % RMS).
+    q ``[b, hq, 1, d]``; k/v ``[b, s, hkv, d]`` int8; k_scale/v_scale
+    ``[b, s, hkv]`` f32 (or pre-flattened ``[b, s*hkv]`` / ``[b, 1, s*hkv]``
+    when ``scales_chunked``). Used by tests and microbenchmarks; the engine
+    calls the cached form on the raw buffers.
     """
-    b, hq, m, d = q.shape
-    _, s, hkv, _ = k.shape
-    assert m == 1, "decode kernel handles single-position queries"
-    assert hq % hkv == 0
-    assert k.dtype == jnp.int8 and v.dtype == jnp.int8
-    group = hq // hkv
-    if scale is None:
-        scale = 1.0 / math.sqrt(d)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    c = head_chunk or pick_head_chunk(hkv)
-    assert hkv % c == 0
-    nc = hkv // c
-    cg = c * group
+    b, s, hkv, d = k.shape
 
-    dp = max(_round_up(d, LANES), LANES)
-    if block_s is None:
-        block_s = min(s, max(8, 16384 // (c * dp // LANES)))
-    num_s_blocks = -(-s // block_s)
-    sp = num_s_blocks * block_s
-    R = row_batch or pick_row_batch(b, s, c, d, block_s)
-    assert b % R == 0, f"row_batch {R} must divide batch {b}"
+    def flat(sc):
+        if scales_chunked:
+            return sc.astype(jnp.float32).reshape(b, s * hkv)
+        return chunk_kv_scales(sc.astype(jnp.float32), hkv).reshape(b, s * hkv)
 
-    # Quantize q per (row, head-chunk): one scalar scale per grid cell rides
-    # scalar prefetch. Pre-apply the softmax scale on the f32 side.
-    qf = q.reshape(b, nc, cg, d).astype(jnp.float32) * scale
-    qmax = jnp.max(jnp.abs(qf), axis=(2, 3))              # [b, nc]
-    qscale = jnp.maximum(qmax, 1e-20) / 127.0
-    q8 = jnp.round(qf / qscale[:, :, None, None]).astype(jnp.int8)
-    q8 = jnp.pad(q8, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
-
-    kp = jnp.pad(k, ((0, 0), (0, sp - s), (0, 0), (0, dp - d)))
-    vp = jnp.pad(v, ((0, 0), (0, sp - s), (0, 0), (0, dp - d)))
-    # View as [b, s, nc, c, d] so one grid axis picks the head chunk.
-    kp = kp.reshape(b, sp, nc, c, dp)
-    vp = vp.reshape(b, sp, nc, c, dp)
-
-    if scales_chunked:
-        ks2 = k_scale.astype(jnp.float32).reshape(b, nc, 1, s * c)
-        vs2 = v_scale.astype(jnp.float32).reshape(b, nc, 1, s * c)
-    else:
-        ks2 = chunk_kv_scales(k_scale.astype(jnp.float32), c)[:, :, None, :]
-        vs2 = chunk_kv_scales(v_scale.astype(jnp.float32), c)[:, :, None, :]
-    if sp != s:
-        pad = ((0, 0), (0, 0), (0, 0), (0, (sp - s) * c))
-        ks2 = jnp.pad(ks2, pad)
-        vs2 = jnp.pad(vs2, pad)
-
-    lens = jnp.minimum(kv_seq_lens.astype(jnp.int32), s)
-
-    kernel = functools.partial(
-        _decode_int8_kernel,
-        c=c, group=group, rows=R, block_s=block_s, num_s_blocks=num_s_blocks,
-    )
-
-    out, lse = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(b // R, nc, num_s_blocks),
-            in_specs=[
-                pl.BlockSpec((R, 1, cg, dp), lambda bi, ji, si, *_: (bi, ji, 0, 0)),
-                pl.BlockSpec((R, block_s, 1, c, dp), lambda bi, ji, si, *_: (bi, si, ji, 0, 0)),
-                pl.BlockSpec((R, block_s, 1, c, dp), lambda bi, ji, si, *_: (bi, si, ji, 0, 0)),
-                pl.BlockSpec((R, 1, 1, block_s * c), lambda bi, ji, si, *_: (bi, ji, 0, si)),
-                pl.BlockSpec((R, 1, 1, block_s * c), lambda bi, ji, si, *_: (bi, ji, 0, si)),
-            ],
-            out_specs=[
-                pl.BlockSpec((R, 1, cg, dp), lambda bi, ji, si, *_: (bi, ji, 0, 0)),
-                pl.BlockSpec((R, 1, cg, LANES), lambda bi, ji, si, *_: (bi, ji, 0, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((R * cg, LANES), jnp.float32),
-                pltpu.VMEM((R * cg, LANES), jnp.float32),
-                pltpu.VMEM((R * cg, dp), jnp.float32),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((b, nc, cg, dp), q.dtype),
-            jax.ShapeDtypeStruct((b, nc, cg, LANES), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+    return decode_attention_cached(
+        jnp.int32(0), q, k[None], v[None],
+        kv_seq_lens=kv_seq_lens,
+        k_scale_all=flat(k_scale)[None],
+        v_scale_all=flat(v_scale)[None],
+        scale=scale, block_s=block_s, row_batch=row_batch,
         interpret=interpret,
-    )(lens, qscale, q8, kp, vp, ks2, vs2)
-
-    out = out[:, :, :, :d].reshape(b, hq, m, d)
-    lse = lse[:, :, :, 0].reshape(b, hq, m)
-    return out.astype(q.dtype), lse
+    )

@@ -5,10 +5,22 @@ checkpoints in the zero-egress environment the weights are random-init, so
 absolute perplexity is near-uniform over the vocab; the *delta* between the
 bf16 model and its int8-quantized copy still measures exactly the
 quantization noise the bound constrains (reference protocol analogue:
-tests/test_e2e.py:28-30's logit-parity gates).
+tests/test_e2e.py:28-30's logit-parity gates). NB: at this near-uniform
+operating point the ``ppl_delta`` field understates error on real peaked
+checkpoints — the scale-free ``ce_delta_nats``/``mean_kl_nats`` are the
+gate; do not cite ``ppl_delta`` as evidence for the 0.1-ppl bound
+(ADVICE r2). Re-run with real weights when a checkpoint is available.
+
+``--outliers`` makes the gate adversarial (VERDICT r2 item 7): a random
+0.1 % of output channels in every projection are scaled 20x, mimicking the
+heavy-tailed channel kurtosis of real LLM weights — exactly the regime
+where naive per-tensor int8 collapses. ``--scheme per_tensor`` runs that
+naive baseline; the gate must FAIL there and PASS under the shipped
+per-channel scheme (tests/test_quality.py asserts both).
 
 Usage (TPU or CPU):
-    python scripts/quality.py --preset sheared-llama-1.3b --tokens 512 --batch 4
+    python scripts/quality.py --preset sheared-llama-1.3b --tokens 512 \
+        --batch 4 --outliers
 
 Prints mean cross-entropy (nats) under both precisions, the perplexity
 delta, and the mean KL(bf16 || int8) per token.
@@ -52,7 +64,55 @@ def quality_metrics(logits_hi, logits_lo, ids):
     return float(ce(lp_hi)), float(ce(lp_lo)), float(kl)
 
 
-def run(preset: str, tokens: int, batch: int, seed: int = 0):
+def inject_outlier_channels(params, seed: int = 0, frac: float = 0.001,
+                            mult: float = 20.0):
+    """Scale a random ``frac`` of output channels of every projection by
+    ``mult`` — synthetic heavy-tailed channel kurtosis. Gaussian random
+    weights have no outlier channels, which is precisely what makes real
+    LLM int8 quantization hard; this restores the failure mode so the gate
+    can actually discriminate schemes."""
+    rng = np.random.RandomState(seed + 1234)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+        w = np.array(layers[name])  # [L, in, out] float
+        n_out = w.shape[-1]
+        idx = rng.choice(n_out, size=max(1, int(n_out * frac)), replace=False)
+        w[..., idx] *= mult
+        layers[name] = jnp.asarray(w, dtype=layers[name].dtype)
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def quantize_params_per_tensor(params):
+    """Naive baseline: ONE int8 scale per matrix (per layer) — the scheme
+    the adversarial gate must fail. The shipped scheme is per-output-channel
+    (ops/quant.py quantize)."""
+    from hydragen_tpu.ops.quant import QuantizedTensor
+
+    def qt(w):
+        wf = jnp.asarray(w, jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=(-2, -1), keepdims=True)
+        scale = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.bfloat16)
+        q = jnp.clip(
+            jnp.round(wf / scale.astype(jnp.float32)), -127, 127
+        ).astype(jnp.int8)
+        out_ch = jnp.broadcast_to(
+            jnp.squeeze(scale, (-2, -1))[..., None], wf.shape[:-2] + wf.shape[-1:]
+        )
+        return QuantizedTensor(q=jnp.swapaxes(q, -1, -2), scale=out_ch)
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+        layers[name] = qt(layers[name])
+    out["layers"] = layers
+    out["lm_head"] = qt(params["lm_head"])
+    return out
+
+
+def run(preset: str, tokens: int, batch: int, seed: int = 0,
+        outliers: bool = False, scheme: str = "per_channel"):
     from hydragen_tpu.core.engine import HydragenLlama
     from hydragen_tpu.models.config import PRESETS
     from hydragen_tpu.models.llama import init_params
@@ -60,6 +120,8 @@ def run(preset: str, tokens: int, batch: int, seed: int = 0):
 
     cfg = PRESETS[preset] if isinstance(preset, str) else preset
     params = init_params(cfg, jax.random.PRNGKey(seed))
+    if outliers:
+        params = inject_outlier_channels(params, seed)
     rng = np.random.RandomState(seed)
     ids = jnp.asarray(
         rng.randint(1, cfg.vocab_size, size=(batch, tokens)), jnp.int32
@@ -67,12 +129,17 @@ def run(preset: str, tokens: int, batch: int, seed: int = 0):
 
     hi = HydragenLlama(cfg, params)
     logits_hi = eval_logits(hi, ids)
-    lo = HydragenLlama(cfg, quantize_params(params), quantization="int8")
+    quantizer = (
+        quantize_params if scheme == "per_channel" else quantize_params_per_tensor
+    )
+    lo = HydragenLlama(cfg, quantizer(params), quantization="int8")
     logits_lo = eval_logits(lo, ids)
 
     ce_hi, ce_lo, kl = quality_metrics(logits_hi, logits_lo, ids)
     return {
         "preset": preset if isinstance(preset, str) else "custom",
+        "scheme": scheme,
+        "outliers": outliers,
         "tokens": tokens * batch,
         "ce_bf16_nats": round(ce_hi, 5),
         "ce_int8_nats": round(ce_lo, 5),
@@ -94,8 +161,13 @@ def main():
     ap.add_argument("--tokens", type=int, default=512)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--outliers", action="store_true",
+                    help="inject 20x outlier channels (adversarial gate)")
+    ap.add_argument("--scheme", default="per_channel",
+                    choices=["per_channel", "per_tensor"])
     args = ap.parse_args()
-    print(json.dumps(run(args.preset, args.tokens, args.batch, args.seed)))
+    print(json.dumps(run(args.preset, args.tokens, args.batch, args.seed,
+                         outliers=args.outliers, scheme=args.scheme)))
 
 
 if __name__ == "__main__":

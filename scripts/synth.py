@@ -28,6 +28,35 @@ from hydragen_tpu.utils import (
 
 MODES = ("hydragen", "hydragen_noshared", "noattention", "hydragen_nohierarchy")
 
+HBM_BYTES = 15.2e9  # v5e minus runtime/program headroom (bench.py)
+
+
+def fits_hbm(cfg, quantized, kv_int8, bs, ns, nu, mode, levels) -> bool:
+    """Pre-flight HBM estimate so paper-shape grids can include points the
+    chip cannot host (the reference's noshared mode OOMs the same way at
+    paper scale, synth.py:82-115) — they are skipped with a note instead of
+    crashing the sweep. Only binding on the real TPU."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return True
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    body = (4 * H * H + 3 * H * I) * L + H * cfg.vocab_size
+    weights = body * (1 if quantized else 2) + cfg.vocab_size * H * 2
+    per_tok = cfg.num_key_value_heads * cfg.head_dim * 2
+    itemsize = 1 if kv_int8 else 2
+    unique_len = nu + 8 + (ns if mode == "hydragen_noshared" else 0)
+    if levels == 2:
+        unique_len += max(16, ns // 8)
+    tokens = bs * unique_len + ns + (max(16, ns // 8) * bs if levels == 2 else 0)
+    cache = L * tokens * per_tok * itemsize
+    if kv_int8:
+        cache += L * tokens * cfg.num_key_value_heads * 2 * 4  # f32 scales
+    transient = 0
+    if mode == "hydragen_noshared":  # copy_shared_to_unique's repeat
+        transient = L * bs * ns * per_tok * itemsize
+    return weights + cache + transient < HBM_BYTES
+
 
 def result_path(outdir: Path, mode: str, bs: int, ns: int, nu: int) -> Path:
     return outdir / f"{mode}_bs{bs}_ns{ns}_nu{nu}.yaml"
@@ -155,6 +184,11 @@ def main():
             path = result_path(args.outdir, mode, bs, ns, nu)
             if path.exists():
                 print(f"skip (exists): {path}")
+                continue
+            if not fits_hbm(engine.config, args.quantization == "int8",
+                            args.kv_quant == "int8", bs, ns, nu, mode,
+                            args.levels):
+                print(f"skip (exceeds HBM): mode={mode} bs={bs} ns={ns} nu={nu}")
                 continue
             print(f"run: mode={mode} bs={bs} shared={ns} unique={nu}")
             times, warmup, prefill = bench_point(

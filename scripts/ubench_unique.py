@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--which", default="xla,rowdec")
-    ap.add_argument("--chunks", type=lambda s: [int(x) for x in s.split(",")],
+    ap.add_argument("--rows", type=lambda s: [int(x) for x in s.split(",")],
                     default=[8])
     args = ap.parse_args()
 
@@ -73,20 +73,19 @@ def main():
         print(f"xla bhsd commuted-scale: {t*1e6:9.1f} us  ({payload_bytes/t/1e9:.0f} GB/s)")
 
     if "rowdec" in which:
-        from hydragen_tpu.ops.decode import (
-            chunk_kv_scales, decode_attention_bshd, pick_head_chunk,
-        )
+        from hydragen_tpu.ops.decode import chunk_kv_scales, decode_attention_bshd
 
-        for c in args.chunks:
-            if hkv % c:
+        ksc_c = jax.block_until_ready(chunk_kv_scales(kscale, hkv))
+        vsc_c = jax.block_until_ready(chunk_kv_scales(vscale, hkv))
+
+        for R in args.rows:
+            if b % R:
                 continue
-            ksc_c = jax.block_until_ready(chunk_kv_scales(kscale, c))
-            vsc_c = jax.block_until_ready(chunk_kv_scales(vscale, c))
 
-            def run_rowdec(q, c=c, ksc_c=ksc_c, vsc_c=vsc_c):
+            def run_rowdec(q, R=R):
                 return decode_attention_bshd(
                     q, k8, v8, kv_seq_lens=lens, k_scale=ksc_c, v_scale=vsc_c,
-                    scales_chunked=True, head_chunk=c,
+                    scales_chunked=True, row_batch=R,
                 )
             o1, l1 = run_rowdec(q)
             o0, l0 = attention_bhsd(
@@ -96,7 +95,7 @@ def main():
             od = float(jnp.max(jnp.abs(o1.astype(jnp.float32) - o0.astype(jnp.float32))))
             ld = float(jnp.max(jnp.abs(l1 - l0)))
             t = timed_scanned(run_rowdec, (q,), num_iters=args.iters)
-            print(f"pallas rowdec c={c:<3d}:     {t*1e6:9.1f} us  "
+            print(f"pallas rowdec R={R:<3d}:     {t*1e6:9.1f} us  "
                   f"({payload_bytes/t/1e9:.0f} GB/s)  dout={od:.4f} dlse={ld:.5f}")
 
 

@@ -1,0 +1,90 @@
+"""34B geometry EXECUTION on the CPU mesh (VERDICT r2 item 6).
+
+Round 2 validated only PartitionSpecs for the codellama-34b geometry
+(tests/test_round2.py); this runs a scaled-depth engine with the REAL
+per-layer dims — hidden 8192, 64 q / 8 kv heads, head_dim 128,
+intermediate 22016, vocab 32016 — through ``generate`` at tp=4 and tp=8
+(plus int8 weights+KV), asserting token parity with the unsharded engine.
+Two layers catch every shape/divisibility/layout bug the spec test cannot.
+Shapes are kept minimal (batch 4, 32+4 tokens, 3 new) — the 8192-dim
+matmuls dominate CPU time.
+
+Reference anchor: /root/reference/docs/sweeps_from_paper.md:44-47 (the
+34B sweep's geometry).
+"""
+
+import dataclasses
+import functools
+import gc
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax
+
+from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
+from hydragen_tpu.models.config import PRESETS
+from hydragen_tpu.models.llama import init_params
+from hydragen_tpu.parallel import make_mesh
+
+
+@functools.lru_cache(maxsize=1)
+def _cfg34():
+    base = PRESETS["codellama-34b"]
+    assert base.hidden_size == 8192 and base.num_attention_heads == 64
+    assert base.num_key_value_heads == 8 and base.intermediate_size == 22016
+    return dataclasses.replace(base, num_hidden_layers=2, dtype="float32")
+
+
+@functools.lru_cache(maxsize=1)
+def _params34():
+    return init_params(_cfg34(), jax.random.PRNGKey(0))
+
+
+def _run(mesh, quantization=None, kv_quant=None):
+    cfg = _cfg34()
+    eng = HydragenLlama(cfg, _params34(), mesh=mesh, quantization=quantization)
+    eng.setup_caches(
+        max_unique_batch_size=4,
+        max_unique_seq_length=16,
+        max_shared_batch_sizes=[1],
+        max_shared_seq_lengths=[32],
+        kv_quant=kv_quant,
+    )
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, 1000, (1, 32)).astype(np.int32)
+    suffix = rng.randint(1, 1000, (4, 4)).astype(np.int32)
+    out = np.asarray(eng.generate(
+        input_ids=[prompt, suffix],
+        num_return_sequences=1,
+        max_new_tokens=3,
+        temperature=0.0,
+        shared_cache_op=SharedCacheOp.WIPE,
+    ))
+    del eng
+    gc.collect()
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _ref():
+    out = _run(None)
+    assert out.shape == (4, 3)
+    return tuple(map(tuple, out))
+
+
+@pytest.mark.parametrize("tp", [4, 8])
+def test_34b_geometry_generate_tp_parity(tp):
+    out = _run(make_mesh(tp=tp, dp=8 // tp))
+    assert tuple(map(tuple, out)) == _ref(), f"tp={tp} diverged from unsharded"
+
+
+def test_34b_geometry_generate_int8_tp4():
+    """INT8 weights + INT8 KV at the 34B dims under tp=4 must execute (the
+    kv-head/tp=2-per-shard and 22016/4 divisibility paths) and produce
+    sane tokens; exact parity is not expected under quantization noise."""
+    out = _run(make_mesh(tp=4, dp=2), quantization="int8", kv_quant="int8")
+    assert out.shape == (4, 3)
+    assert (out >= 0).all() and (out < _cfg34().vocab_size).all()

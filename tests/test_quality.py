@@ -38,6 +38,28 @@ def test_int8_quality_gate():
     assert m["mean_kl_nats"] < 5e-3, m
 
 
+def test_outlier_channels_discriminate_schemes():
+    """Adversarial gate (VERDICT r2 item 7): with 20x outlier channels
+    injected, the shipped per-channel int8 scheme must PASS the ce-delta
+    gate and naive per-tensor int8 must FAIL it — i.e. the gate can
+    actually reject a bad scheme, not just bless Gaussian weights."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from quality import run
+
+    good = run(CFG, tokens=128, batch=2, outliers=True, scheme="per_channel")
+    assert good["ce_delta_nats"] < 0.015, good
+    assert good["mean_kl_nats"] < 5e-3, good
+
+    bad = run(CFG, tokens=128, batch=2, outliers=True, scheme="per_tensor")
+    assert bad["ce_delta_nats"] > 0.015 or bad["mean_kl_nats"] > 5e-3, (
+        "per-tensor int8 survived outlier channels — the gate is too easy",
+        bad,
+    )
+
+
 def test_int8_kv_quality_gate():
     """int8 KV cache: same gate, quantizing the cache instead of weights."""
     from hydragen_tpu.core.engine import HydragenLlama
