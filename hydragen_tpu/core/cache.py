@@ -136,6 +136,7 @@ def allocate_cache(
     quantized: bool = False,
     unique_bshd: Optional[bool] = None,
     flat_scales: Optional[bool] = None,
+    shared_quantized: Optional[bool] = None,
 ) -> KVCache:
     """Allocate zeroed cache buffers (mirrors setup_caches, llama.py:921-955).
 
@@ -146,6 +147,13 @@ def allocate_cache(
     (hkv, hd) innermost the write is tile-exact. Auto (None): on iff one
     token's KV fills whole tiles (``hkv * hd * itemsize % 4096 == 0`` — MHA;
     GQA head counts would pad sublanes up to 4x and stay BHSD).
+
+    ``shared_quantized`` (None = follow ``quantized``): quantize the shared
+    levels independently of the unique cache. The shared prefix is stored
+    ONCE and read once per step regardless of batch, so int8 buys it little
+    bandwidth while its dequant commute costs a VPU pass per score at every
+    read — ``kv_quant="int8", shared bf16`` is the fast AND more exact
+    configuration at long prefixes (decode there is VPU-softmax-bound).
     """
     assert len(max_shared_batch_sizes) == len(max_shared_seq_lengths)
     store_dtype = jnp.int8 if quantized else dtype
@@ -155,14 +163,16 @@ def allocate_cache(
     if flat_scales is None:
         flat_scales = unique_bshd and quantized
     flat_scales = bool(flat_scales and unique_bshd and quantized)
+    if shared_quantized is None:
+        shared_quantized = quantized
 
-    def bufs(b, s, bshd=False, flat=False):
+    def bufs(b, s, bshd=False, flat=False, quant=quantized):
         shape = (
             (num_layers, b, s, num_kv_heads, head_dim) if bshd
             else (num_layers, b, num_kv_heads, s, head_dim)
         )
-        k = jnp.zeros(shape, dtype=store_dtype)
-        if quantized:
+        k = jnp.zeros(shape, dtype=jnp.int8 if quant else dtype)
+        if quant:
             sshape = (num_layers, b, s * num_kv_heads) if flat else shape[:-1]
             sc = jnp.zeros(sshape, dtype=jnp.float32)
         else:
@@ -177,7 +187,7 @@ def allocate_cache(
             seq_lens=jnp.zeros((sb,), dtype=jnp.int32),
         )
         for sb, sl in zip(max_shared_batch_sizes, max_shared_seq_lengths)
-        for b in (bufs(sb, sl),)
+        for b in (bufs(sb, sl, quant=shared_quantized),)
     )
     return KVCache(
         unique_k=uk, unique_v=uv, shared=shared,
@@ -453,7 +463,6 @@ def copy_shared_to_unique(
     assert total_num_sequences % sb == 0
     rep = total_num_sequences // sb
     S = level.max_seq_len
-    assert level.quantized == cache.quantized
 
     def cp(dst, src):
         r = jnp.repeat(src, rep, axis=1)
@@ -469,9 +478,27 @@ def copy_shared_to_unique(
             )
         return dst.at[:, :total_num_sequences, :, :S].set(r.astype(dst.dtype))
 
+    def payload_and_scale(payload, scale):
+        """Level buffers in the UNIQUE cache's storage format."""
+        if cache.quantized and scale is None:
+            # bf16 level -> int8 unique: quantize (amax over hd, dim -1 of
+            # the BHSD [L, sb, hkv, S, hd] layout after moving hd last).
+            q, s = quantize_kv(payload)
+            return q, s
+        if not cache.quantized and scale is not None:
+            # int8 level -> bf16 unique: dequantize.
+            deq = (payload.astype(jnp.float32) * scale[..., None]).astype(
+                cache.unique_k.dtype
+            )
+            return deq, None
+        return payload, scale
+
+    ck, cks = payload_and_scale(level.k, level.k_scale)
+    cv, cvs = payload_and_scale(level.v, level.v_scale)
+
     return cache._replace(
-        unique_k=cp(cache.unique_k, level.k),
-        unique_v=cp(cache.unique_v, level.v),
-        unique_k_scale=None if cache.unique_k_scale is None else cp(cache.unique_k_scale, level.k_scale),
-        unique_v_scale=None if cache.unique_v_scale is None else cp(cache.unique_v_scale, level.v_scale),
+        unique_k=cp(cache.unique_k, ck),
+        unique_v=cp(cache.unique_v, cv),
+        unique_k_scale=None if cache.unique_k_scale is None else cp(cache.unique_k_scale, cks),
+        unique_v_scale=None if cache.unique_v_scale is None else cp(cache.unique_v_scale, cvs),
     )

@@ -369,6 +369,7 @@ class HydragenLlama:
         cache_dtype=None,
         kv_quant: Optional[str] = None,
         unique_bshd: Optional[bool] = None,
+        shared_kv_quant: str = "follow",
     ):
         """Pre-allocate all cache buffers (llama.py:921-955).
 
@@ -376,8 +377,18 @@ class HydragenLlama:
         scales — halves KV HBM footprint and decode-attention bandwidth.
         unique_bshd: token-dim-outside-tile unique layout (see
         allocate_cache); None = auto by head geometry.
+        shared_kv_quant: "follow" (default; shared levels match kv_quant),
+        "none" (keep shared levels in the compute dtype — the shared prefix
+        is read once per step regardless of batch, so int8 buys it little
+        bandwidth while its dequant costs a VPU pass per score; "none" is
+        the fast AND more exact choice at long prefixes), or "int8".
         """
         assert kv_quant in (None, "int8"), f"unknown kv_quant {kv_quant!r}"
+        assert shared_kv_quant in ("follow", "none", "int8")
+        if shared_kv_quant == "follow":
+            shared_quantized = None
+        else:
+            shared_quantized = shared_kv_quant == "int8"
         cfg = self.config
         # Round up so decode-kernel KV blocks tile cleanly.
         max_unique_seq_length = -(-max_unique_seq_length // 16) * 16
@@ -395,6 +406,7 @@ class HydragenLlama:
             # Flat lane-major scales fold the kv-head dim into lanes, which
             # a head-sharded mesh cannot split — keep the 4D layout there.
             flat_scales=False if self.mesh is not None else None,
+            shared_quantized=shared_quantized,
         )
         self.num_used_levels = 0
         self.level_filled = []
