@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from hydragen_tpu.models.config import ModelConfig
-from hydragen_tpu.ops.combine import combine_lse
+from hydragen_tpu.ops.combine import combine_lse, combine_lse_with_stats
 from hydragen_tpu.ops.hydragen import (
     _attention,
     _pick_impl,
@@ -358,18 +358,45 @@ def model_forward(
         and jax.default_backend() == "tpu"
     )
 
+    # Cached shared-level reads: route level j through the stacked-buffer
+    # Pallas kernel (layer index via scalar prefetch) whenever the shapes
+    # would pick the Pallas path anyway — per-layer slice operands make XLA
+    # materialize each layer's level slice per step (~4.5 ms at 7B bs256).
+    def _shared_cached_ok(fl, sb):
+        if (
+            jax.default_backend() != "tpu"
+            or spec.sharded
+            or impl == "xla"
+            or cfg.head_dim % 128 != 0
+            or spec.disable_hydragen
+        ):
+            return False
+        if spec.impl == "pallas":
+            return True
+        m_fold = (nh // nkv) * (b // sb) * t
+        return (m_fold >= 256 and fl >= 1024) or (m_fold >= 128 and fl >= 8192)
+
+    shared_cached = tuple(
+        _shared_cached_ok(fl, sb)
+        for fl, sb in zip(spec.level_filled, level_sb)
+    )
+
     if use_fused_cached:
         level_ks = level_vs = [None]
         level_lens = [active_levels[0].seq_lens]
         uk = uv = None
     else:
         level_ks = [
-            kv_view(lv.k, lv.k_scale, fl, rows=sb)
-            for lv, fl, sb in zip(active_levels, spec.level_filled, level_sb)
+            (None, None) if shared_cached[i] else kv_view(lv.k, lv.k_scale, fl, rows=sb)
+            for i, (lv, fl, sb) in enumerate(
+                zip(active_levels, spec.level_filled, level_sb)
+            )
         ]
         level_vs = [
-            kv_view(lv.v, lv.v_scale, fl, rows=sb)
-            for lv, fl, sb in zip(active_levels, spec.level_filled, level_sb)
+            (None, None) if shared_cached[i] else kv_view(lv.v, lv.v_scale, fl, rows=sb)
+            for i, (lv, fl, sb) in enumerate(
+                zip(active_levels, spec.level_filled, level_sb)
+            )
         ]
         level_lens = [lv.seq_lens[:sb] for lv, sb in zip(active_levels, level_sb)]
 
@@ -440,6 +467,7 @@ def model_forward(
         if spec.disable_attention:
             attn = q
         else:
+            attn = None
             outs, lses = [], []
             if use_fused_cached:
                 from hydragen_tpu.ops.fused import fused_hydragen_decode_cached
@@ -461,8 +489,23 @@ def model_forward(
                 lses.append(l)
             else:
                 if not spec.disable_hydragen:
-                    for (lk, lv_), lens in zip(lvl_kv, level_lens):
-                        sb = lk[0].shape[0]
+                    for j, ((lk, lv_), lens) in enumerate(zip(lvl_kv, level_lens)):
+                        sb = level_sb[j]
+                        if shared_cached[j]:
+                            from hydragen_tpu.ops.flash import (
+                                flash_attention_cached_bhsd,
+                            )
+
+                            lvl = active_levels[j]
+                            bq_ = fold_queries_for_shared(q, sb)
+                            o, l = flash_attention_cached_bhsd(
+                                li, bq_, lvl.k, lvl.v, kv_seq_lens=lens,
+                                k_scale_all=lvl.k_scale,
+                                v_scale_all=lvl.v_scale,
+                            )
+                            outs.append(unfold_shared_out(o, b, t))
+                            lses.append(unfold_shared_lse(l, b, t))
+                            continue
                         s_lvl = lk[0].shape[2]
                         if _mesh_level_attn_ok(
                             mesh, spec, b, nh, nkv, sb, s_lvl, t
@@ -507,11 +550,26 @@ def model_forward(
                             decode_attention_cached,
                         )
 
-                        o, l = decode_attention_cached(
+                        # Fused epilogue: this step's own-token KV rides in
+                        # as one extra softmax column per row and the shared
+                        # partial(s) merge via LSE at emit — the kernel
+                        # emits the FINAL attention, dropping combine_lse
+                        # (its 3-partial merge relayed each partial out in
+                        # f32 every layer, xplane-verified) and the analytic
+                        # own-token partial from the decode step.
+                        if len(outs) > 1:
+                            sh = combine_lse_with_stats(outs, lses)
+                        elif outs:
+                            sh = (outs[0], lses[0])
+                        else:
+                            sh = None
+                        attn, _ = decode_attention_cached(
                             li, q, cache.unique_k, cache.unique_v,
                             kv_seq_lens=history_lens,
                             k_scale_all=cache.unique_k_scale,
                             v_scale_all=cache.unique_v_scale,
+                            own_kv=(k, v),
+                            shared_partial=sh,
                         )
                     else:
                         if uks is not None and cache.flat_scales:
@@ -528,10 +586,13 @@ def model_forward(
                             kv_mask=history_mask, impl=impl,
                             kv_bshd=cache.unique_bshd,
                         )
-                    outs.append(o)
-                    lses.append(l)
-            # Causal self-attention over the current input's KV.
-            if t == 1:
+                        outs.append(o)
+                        lses.append(l)
+            # Causal self-attention over the current input's KV (skipped
+            # when the decode kernel already merged the own token).
+            if attn is not None:
+                pass
+            elif t == 1:
                 # Decode: softmax over a single own-token KV is the
                 # identity — out = v, lse = q·k·scale. Computing this
                 # analytically avoids a per-layer kernel launch.
@@ -553,9 +614,10 @@ def model_forward(
                 o, l = sharded_causal_attention(q, k, v, mesh=mesh)
             else:
                 o, l = _attention(q, k, v, causal=True, kv_seq_lens=None, impl=impl)
-            outs.append(o)
-            lses.append(l)
-            attn = combine_lse(outs, lses)
+            if attn is None:
+                outs.append(o)
+                lses.append(l)
+                attn = combine_lse(outs, lses)
 
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
         attn = qmatmul(attn, wo, "btd,dh->bth")

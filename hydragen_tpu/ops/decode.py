@@ -93,17 +93,24 @@ def _decode_cached_kernel(
     v_ref,       # [1, R, block_s, c, dp] int8
     kscale_ref,  # [1, R, block_s*c] f32
     vscale_ref,  # [1, R, block_s*c] f32
-    o_ref,       # [R, cg, dp]
-    lse_ref,     # [R, cg, LANES] f32
-    m_scr, l_scr, acc_scr,   # [R*cg, ...]
-    *,
+    *rest,       # merge: [k1, v1 (R, c, dp) bf16, o_sh (R, cg, dp) bf16,
+                 #         lse_sh (R, cg, 1) f32], then
+                 # o_ref (R, cg, dp), lse_ref (R, cg, LANES) f32, scratches
     c: int,
     group: int,
     rows: int,
     block_s: int,
     num_s_blocks: int,
     sm_scale: float,
+    merge_own: bool = False,
+    merge_shared: bool = False,
 ):
+    n_extra = (2 if merge_own else 0) + (2 if merge_shared else 0)
+    extra, (o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest[:n_extra], rest[n_extra:]
+    if merge_own:
+        k1_ref, v1_ref = extra[0], extra[1]
+    if merge_shared:
+        osh_ref, lsesh_ref = extra[-2], extra[-1]
     bi = pl.program_id(0)
     si = pl.program_id(1)
     cg = c * group
@@ -186,13 +193,57 @@ def _decode_cached_kernel(
 
     @pl.when(si == num_s_blocks - 1)
     def _emit():
+        # GQA head-expansion one-hot (oh[i, j] = 1 iff q-row i uses kv head
+        # j): expanding [c, dp] own-token KV to [cg, dp] rides one tiny MXU
+        # matmul — Mosaic has no sublane repeat/gather (CLAUDE.md limits).
+        if merge_own and group > 1:
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (cg, c), 1)
+                == jax.lax.broadcasted_iota(jnp.int32, (cg, c), 0) // group
+            ).astype(jnp.float32)
+
         def ebody(r, _):
             lo = r * cg
-            l = l_scr[pl.ds(lo, cg), 0:1]
-            l_safe = jnp.where(l == 0.0, 1.0, l)
-            o_ref[r] = (acc_scr[pl.ds(lo, cg)] / l_safe).astype(o_ref.dtype)
             m = m_scr[pl.ds(lo, cg), 0:1]
-            lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
+            l = l_scr[pl.ds(lo, cg), 0:1]
+            acc = acc_scr[pl.ds(lo, cg)]
+            if merge_own:
+                # This step's own token: softmax over one column is exact in
+                # the online state — one more (score, value) pair per row.
+                qf = q_ref[r].astype(jnp.float32) * sm_scale
+                if group > 1:
+                    k1e = jax.lax.dot(oh, k1_ref[r].astype(jnp.float32))
+                    v1e = jax.lax.dot(oh, v1_ref[r].astype(jnp.float32))
+                else:
+                    k1e = k1_ref[r].astype(jnp.float32)
+                    v1e = v1_ref[r].astype(jnp.float32)
+                s_own = jnp.sum(qf * k1e, axis=1, keepdims=True)
+                m_new = jnp.maximum(m, s_own)
+                alpha = jnp.exp(m - m_new)
+                p_own = jnp.exp(s_own - m_new)
+                l = alpha * l + p_own
+                acc = acc * alpha + p_own * v1e
+                m = m_new
+            if merge_shared:
+                # Exact LSE merge with the shared-prefix partial (the XLA
+                # combine_lse relayed every partial out in f32 per layer —
+                # ~6 copies/layer at 7B bs256, xplane-verified).
+                lse_sh = jnp.maximum(lsesh_ref[r][:, 0:1], NEG_INF)
+                osh = osh_ref[r].astype(jnp.float32)
+                l_safe = jnp.maximum(l, 1e-38)
+                lse1 = jnp.where(l > 0.0, m + jnp.log(l_safe), NEG_INF)
+                m12 = jnp.maximum(jnp.maximum(lse1, lse_sh), NEG_CLAMP)
+                e1 = jnp.where(l > 0.0, jnp.exp(m - m12), 0.0)
+                w2 = jnp.exp(lse_sh - m12)
+                num = e1 * acc + w2 * osh
+                den = e1 * l + w2
+                den_safe = jnp.where(den == 0.0, 1.0, den)
+                o_ref[r] = (num / den_safe).astype(o_ref.dtype)
+                lse = jnp.where(den == 0.0, -jnp.inf, m12 + jnp.log(den_safe))
+            else:
+                l_safe = jnp.where(l == 0.0, 1.0, l)
+                o_ref[r] = (acc / l_safe).astype(o_ref.dtype)
+                lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
             lse_ref[r] = jnp.broadcast_to(lse, (cg, LANES)).astype(jnp.float32)
             return 0
 
@@ -223,6 +274,8 @@ def decode_attention_cached(
     kv_seq_lens: jax.Array,
     k_scale_all: jax.Array,
     v_scale_all: jax.Array,
+    own_kv: tuple[jax.Array, jax.Array] | None = None,
+    shared_partial: tuple[jax.Array, jax.Array] | None = None,
     scale: float | None = None,
     block_s: int | None = None,
     row_batch: int | None = None,
@@ -241,10 +294,20 @@ def decode_attention_cached(
             row's length must be finite (the engine's caches are zeroed).
         k_scale_all, v_scale_all: ``[L, B, S*hkv]`` f32 flat lane-major
             scales (the cache's flat_scales storage).
+        own_kv: optional ``(k1, v1)`` each ``[b, hkv, 1, d]`` float — this
+            step's own-token KV, merged in-kernel as one extra softmax
+            column per row (replaces the analytic own-token partial + one
+            XLA combine input per layer).
+        shared_partial: optional ``(o_sh [b, hq, 1, d], lse_sh [b, hq, 1]
+            f32)`` — a pre-computed attention partial (the shared-prefix
+            read, pre-combined across levels), merged exactly via LSE at
+            emit. With both merges the kernel emits the FINAL attention and
+            ``combine_lse`` drops out of the decode layer entirely.
 
     Returns:
-        out ``[b, hq, 1, d]`` (q.dtype), lse ``[b, hq, 1]`` f32. Matches
-        ``ops.reference.attention_bhsd(..., kv_bshd=True)`` on the layer's
+        out ``[b, hq, 1, d]`` (q.dtype), lse ``[b, hq, 1]`` f32 (of the
+        merged result). Matches ``ops.reference.attention_bhsd(...,
+        kv_bshd=True)`` (+ combine_lse of the merge inputs) on the layer's
         slice, up to int8 quantization noise of q and p (~0.5 % RMS).
     """
     b, hq, m, d = q.shape
@@ -280,6 +343,28 @@ def decode_attention_cached(
     lens = jnp.minimum(kv_seq_lens.astype(jnp.int32), S)
     li = jnp.reshape(layer, (1,)).astype(jnp.int32)
 
+    merge_ops, merge_specs = [], []
+    merge_own = own_kv is not None
+    merge_shared = shared_partial is not None
+    if merge_own:
+        k1, v1 = own_kv
+        assert k1.shape == (b, hkv, 1, d) and v1.shape == (b, hkv, 1, d)
+        merge_ops += [k1.reshape(b, c, d), v1.reshape(b, c, d)]
+        merge_specs += [
+            pl.BlockSpec((R, c, dp), lambda bi, si, *_: (bi, 0, 0)),
+        ] * 2
+    if merge_shared:
+        o_sh, lse_sh = shared_partial
+        assert o_sh.shape == (b, hq, 1, d) and lse_sh.shape == (b, hq, 1)
+        merge_ops += [
+            o_sh.reshape(b, cg, d),
+            lse_sh.astype(jnp.float32).reshape(b, cg, 1),
+        ]
+        merge_specs += [
+            pl.BlockSpec((R, cg, dp), lambda bi, si, *_: (bi, 0, 0)),
+            pl.BlockSpec((R, cg, 1), lambda bi, si, *_: (bi, 0, 0)),
+        ]
+
     def last_block(lens_ref, bi, rows=R):
         lim = lens_ref[bi * rows]
         for r in range(1, rows):
@@ -296,6 +381,7 @@ def decode_attention_cached(
         _decode_cached_kernel,
         c=c, group=group, rows=R, block_s=block_s,
         num_s_blocks=num_s_blocks, sm_scale=scale,
+        merge_own=merge_own, merge_shared=merge_shared,
     )
 
     out, lse = pl.pallas_call(
@@ -309,6 +395,7 @@ def decode_attention_cached(
                 pl.BlockSpec((1, R, block_s, c, dp), kv_index),
                 pl.BlockSpec((1, R, block_s * c), sc_index),
                 pl.BlockSpec((1, R, block_s * c), sc_index),
+                *merge_specs,
             ],
             out_specs=[
                 pl.BlockSpec((R, cg, dp), lambda bi, si, *_: (bi, 0, 0)),
@@ -328,7 +415,7 @@ def decode_attention_cached(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lens, li, qf, k_all, v_all, k_scale_all, v_scale_all)
+    )(lens, li, qf, k_all, v_all, k_scale_all, v_scale_all, *merge_ops)
 
     out = out.reshape(b, hq, m, d)
     lse = lse[:, :, 0].reshape(b, hq, m)
@@ -348,6 +435,8 @@ def decode_attention_bshd(
     row_batch: int | None = None,
     interpret: bool | None = None,
     scales_chunked: bool = False,
+    own_kv: tuple[jax.Array, jax.Array] | None = None,
+    shared_partial: tuple[jax.Array, jax.Array] | None = None,
 ):
     """Single-layer convenience wrapper over ``decode_attention_cached``.
 
@@ -368,6 +457,7 @@ def decode_attention_bshd(
         kv_seq_lens=kv_seq_lens,
         k_scale_all=flat(k_scale)[None],
         v_scale_all=flat(v_scale)[None],
+        own_kv=own_kv, shared_partial=shared_partial,
         scale=scale, block_s=block_s, row_batch=row_batch,
         interpret=interpret,
     )

@@ -630,6 +630,174 @@ def _flash_decode_call(
     return out.astype(qf.dtype), lse
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_m", "block_k", "interpret"),
+)
+def flash_attention_cached_bhsd(
+    layer: jax.Array,
+    q: jax.Array,
+    k_all: jax.Array,
+    v_all: jax.Array,
+    *,
+    kv_seq_lens: jax.Array | None = None,
+    k_scale_all: jax.Array | None = None,
+    v_scale_all: jax.Array | None = None,
+    scale: float | None = None,
+    block_m: int | None = None,
+    block_k: int | None = None,
+    interpret: bool | None = None,
+):
+    """Non-causal flash attention reading ONE layer of stacked KV buffers.
+
+    The shared-level analogue of ``ops.decode.decode_attention_cached``: the
+    operands are the engine's raw stacked level buffers and the layer index
+    rides scalar prefetch into the BlockSpec index maps. Feeding per-layer
+    slices to ``flash_attention_bhsd`` instead makes XLA materialize each
+    layer's slice as a fusion output per operand per step (~4.5 ms/step at
+    7B bs256 decode, xplane-verified) just to stage the pallas operand.
+
+    Args:
+        layer: scalar int32 layer index.
+        q: ``[sb, hq, m, d]`` (folded) queries.
+        k_all, v_all: ``[L, sb, hkv, S, d]`` stacked level buffers (int8
+            payload when scales are given). ``d`` must be a 128 multiple —
+            padding the stacked buffer would copy the whole cache.
+        kv_seq_lens: ``[sb]`` valid lengths (None = all S). Blocks past a
+            row's length are neither DMA'd nor computed (index-map clamp), so
+            the allocated S padding costs only empty grid iterations.
+        k_scale_all, v_scale_all: ``[L, sb, hkv, S]`` f32 per-token scales.
+
+    Returns ``(out [sb, hq, m, d], lse [sb, hq, m] f32)`` — equal to
+    ``flash_attention_bhsd`` on the layer's slice.
+    """
+    b, hq, m, d = q.shape
+    L, SB, hkv, s, _ = k_all.shape
+    assert hq % hkv == 0
+    assert b <= SB, f"folded batch {b} exceeds allocated level batch {SB}"
+    group = hq // hkv
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    M = group * m
+    qf = q.reshape(b, hkv, M, d)
+    if scale != 1.0:
+        qf = (qf.astype(jnp.float32) * scale).astype(q.dtype)
+        scale = 1.0
+
+    dp = max(_round_up(d, LANES), LANES)
+    assert d == dp, "head_dim must be a 128-lane multiple for the cached form"
+    if block_m is None:
+        block_m = min(512, max(16, _round_up(M, 16)))
+    Mp = _round_up(M, block_m)
+    if block_k is None:
+        block_k = min(512, max(LANES, _round_up(min(s, 512), LANES)))
+    num_kv_blocks = -(-s // block_k)
+
+    quantized = k_scale_all is not None
+    assert (k_scale_all is None) == (v_scale_all is None)
+
+    B = b * hkv
+    # Rows are indexed li*B_all + bh: with b <= SB the first b batch rows of
+    # each layer line up with the folded-query grid rows.
+    B_all = SB * hkv
+    qp = jnp.pad(qf, ((0, 0), (0, 0), (0, Mp - M), (0, 0))).reshape(B, Mp, dp)
+    # Leading-dim merges only — no copy of the stacked cache.
+    kp = k_all.reshape(L * B_all, s, dp)
+    vp = v_all.reshape(L * B_all, s, dp)
+    if quantized:
+        ks2 = k_scale_all.astype(jnp.float32).reshape(L * B_all, 1, s)
+        vs2 = v_scale_all.astype(jnp.float32).reshape(L * B_all, 1, s)
+
+    if kv_seq_lens is None:
+        lens = jnp.full((b,), s, dtype=jnp.int32)
+    else:
+        lens = jnp.minimum(kv_seq_lens.astype(jnp.int32), s)
+    li = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    def q_index(bh, mi, ki, lens_ref, li_ref):
+        return (bh, mi, 0)
+
+    def _last_block(bh, lens_ref):
+        limit = lens_ref[bh // hkv]
+        return jnp.maximum((limit + block_k - 1) // block_k - 1, 0)
+
+    def kv_index(bh, mi, ki, lens_ref, li_ref):
+        return (
+            li_ref[0] * B_all + bh,
+            jnp.minimum(ki, _last_block(bh, lens_ref)),
+            0,
+        )
+
+    def scale_index(bh, mi, ki, lens_ref, li_ref):
+        return (
+            li_ref[0] * B_all + bh,
+            0,
+            jnp.minimum(ki, _last_block(bh, lens_ref)),
+        )
+
+    def _kernel_cached(lens_ref, li_ref, *args, **kw):
+        _kernel(lens_ref, *args, **kw)
+
+    kernel = functools.partial(
+        _kernel_cached,
+        hkv=hkv,
+        q_len=m,
+        kv_len=s,
+        block_m=block_m,
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+        causal=False,
+        scale=scale,
+        quantized=quantized,
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, block_m, dp), q_index),
+        pl.BlockSpec((1, block_k, dp), kv_index),
+        pl.BlockSpec((1, block_k, dp), kv_index),
+    ]
+    operands = [lens, li, qp, kp, vp]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, block_k), scale_index),
+            pl.BlockSpec((1, 1, block_k), scale_index),
+        ]
+        operands += [ks2, vs2]
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, Mp // block_m, num_kv_blocks),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, block_m, dp), q_index),
+                pl.BlockSpec((1, block_m, LANES), q_index),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_m, LANES), jnp.float32),
+                pltpu.VMEM((block_m, LANES), jnp.float32),
+                pltpu.VMEM((block_m, dp), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Mp, dp), q.dtype),
+            jax.ShapeDtypeStruct((B, Mp, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    out = out[:, :M, :d].reshape(b, hkv, group, m, d).reshape(b, hq, m, d)
+    lse = lse[:, :M, 0].reshape(b, hkv, group, m).reshape(b, hq, m)
+    return out.astype(q.dtype), lse
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,

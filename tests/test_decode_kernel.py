@@ -99,6 +99,61 @@ def test_decode_cached_layer_select():
         _assert_close(o1, l1, o0, l0)
 
 
+@pytest.mark.parametrize(
+    "hq,hkv,with_shared,with_own",
+    [
+        (8, 8, True, True),
+        (8, 2, True, True),    # GQA group 4 (one-hot MXU expansion)
+        (8, 8, False, True),   # disable_hydragen: own merge only
+        (8, 8, True, False),   # shared merge only
+    ],
+)
+def test_decode_kernel_fused_merge(hq, hkv, with_shared, with_own):
+    """own_kv + shared_partial merged in-kernel must equal the decomposed
+    path (kernel partial + analytic own + shared partial via combine_lse)."""
+    from hydragen_tpu.ops.combine import combine_lse
+
+    b, s, d = 8, 16, 128
+    q, k, v, ksc, vsc, lens = _mk(b, hq, hkv, s, d, "ragged")
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+
+    kwargs = {}
+    outs, lses = [], []
+    # Decomposed unique partial (no merge).
+    o_u, l_u = decode_attention_bshd(
+        q, k, v, kv_seq_lens=lens, k_scale=ksc, v_scale=vsc,
+        row_batch=4, interpret=True,
+    )
+    outs.append(o_u)
+    lses.append(l_u)
+
+    if with_own:
+        k1 = jax.random.normal(ks[0], (b, hkv, 1, d), dtype=jnp.float32)
+        v1 = jax.random.normal(ks[1], (b, hkv, 1, d), dtype=jnp.float32)
+        kwargs["own_kv"] = (k1, v1)
+        o_o, l_o = attention_bhsd(q, k1, v1, kv_seq_lens=None)
+        outs.append(o_o)
+        lses.append(l_o)
+    if with_shared:
+        ssh = 8
+        ksh = jax.random.normal(ks[2], (b, hq, ssh, d), dtype=jnp.float32)
+        vsh = jax.random.normal(ks[3], (b, hq, ssh, d), dtype=jnp.float32)
+        # One row's shared level fully masked: its lse must arrive -inf.
+        sh_lens = jnp.full((b,), ssh, jnp.int32).at[2].set(0)
+        o_sh, l_sh = attention_bhsd(q, ksh, vsh, kv_seq_lens=sh_lens)
+        kwargs["shared_partial"] = (o_sh, l_sh)
+        outs.append(o_sh)
+        lses.append(l_sh)
+
+    o_ref = combine_lse(outs, lses)
+    o_m, _ = decode_attention_bshd(
+        q, k, v, kv_seq_lens=lens, k_scale=ksc, v_scale=vsc,
+        row_batch=4, interpret=True, **kwargs,
+    )
+    rel = float(jnp.max(jnp.abs(o_m - o_ref))) / float(jnp.max(jnp.abs(o_ref)))
+    assert rel < 3e-2, f"fused-merge rel err {rel}"
+
+
 def test_chunk_scales_roundtrip():
     sc = jax.random.uniform(jax.random.PRNGKey(9), (3, 16, 8))
     for c in (1, 2, 4, 8):
