@@ -95,7 +95,9 @@ def main():
     model = os.environ.get("HYDRAGEN_BENCH_MODEL", "llama-2-7b")
     bs = int(os.environ.get("HYDRAGEN_BENCH_BS", "256"))
     shared_len = int(os.environ.get("HYDRAGEN_BENCH_SHARED", "2048"))
-    new_tokens = int(os.environ.get("HYDRAGEN_BENCH_NEW", "64"))
+    # 128 new tokens = the reference sweep protocol's lower arm
+    # (docs/sweeps_from_paper.md:27-49 uses 128/256).
+    new_tokens = int(os.environ.get("HYDRAGEN_BENCH_NEW", "128"))
 
     # North-star config (BASELINE.md): INT8 weights + INT8 KV.
     quant = os.environ.get("HYDRAGEN_BENCH_QUANT", "int8")

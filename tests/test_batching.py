@@ -130,3 +130,27 @@ def test_continuous_batching_int8_weights_inplace_path():
     ]
     out = cb.run()
     assert [len(out[r]) for r in rids] == [3, 7, 10]
+
+
+def test_continuous_batching_grouped_prefixes(setup):
+    """sb > 1 pools: requests target a prefix group; each must decode under
+    ITS group's shared stack (oracle: one-shot engine per prefix)."""
+    params, _, prompts = setup
+    rng = np.random.RandomState(9)
+    shared2 = rng.randint(1, 128, (2, 8)).astype(np.int32)
+    max_new = 6
+
+    eng = HydragenLlama(CFG, params)
+    eng.setup_caches(4, 32, [2], [16])
+    eng.append_shared(shared2)
+    cb = ContinuousBatcher(eng, chunk=3, bucket=4, temperature=0.0)
+    rids = [
+        cb.submit(p, max_new_tokens=max_new, group=i % 2)
+        for i, p in enumerate(prompts)
+    ]
+    results = cb.run()
+
+    assert set(results) == set(rids)
+    for i, (rid, prompt) in enumerate(zip(rids, prompts)):
+        want = reference_tokens(params, shared2[i % 2][None], prompt, max_new)
+        assert results[rid] == want, f"rid {rid} (group {i % 2})"
