@@ -14,7 +14,9 @@ reports; the baseline therefore runs at its own best feasible batch).
 
 Env overrides: HYDRAGEN_BENCH_MODEL (preset name), HYDRAGEN_BENCH_BS,
 HYDRAGEN_BENCH_SHARED, HYDRAGEN_BENCH_NEW, HYDRAGEN_BENCH_QUANT=int8|none,
-HYDRAGEN_BENCH_KV=int8 (default; "" for bf16 KV).
+HYDRAGEN_BENCH_KV=int8 (default; "" for bf16 KV),
+HYDRAGEN_BENCH_SHARED_KV=follow|none|int8 (shared-level KV precision;
+"none" keeps the once-stored prefix in bf16 — faster at long prefixes).
 """
 
 from __future__ import annotations
@@ -60,7 +62,7 @@ def cache_bytes(cfg: ModelConfig, bs: int, unique_len: int, shared_len: int,
 
 
 def run_config(engine, prompt, bs, new_tokens, disable_hydragen, iters=3,
-               kv_quant=None):
+               kv_quant=None, shared_kv_quant="follow"):
     shared_len = prompt.shape[1]
     # Decode writes slots [0, new_tokens-1); no unique suffix in this
     # protocol, so new_tokens slots exactly suffice (HBM is the binding
@@ -74,6 +76,7 @@ def run_config(engine, prompt, bs, new_tokens, disable_hydragen, iters=3,
         max_shared_batch_sizes=[1],
         max_shared_seq_lengths=[shared_len],
         kv_quant=kv_quant,
+        shared_kv_quant=shared_kv_quant,
     )
 
     def gen():
@@ -103,6 +106,7 @@ def main():
     quant = os.environ.get("HYDRAGEN_BENCH_QUANT", "int8")
     quant = None if quant in ("", "none") else quant
     kv_quant = os.environ.get("HYDRAGEN_BENCH_KV", "int8") or None
+    shared_kv = os.environ.get("HYDRAGEN_BENCH_SHARED_KV", "follow")
 
     cfg = PRESETS[model]
     # Random weights, quantized at init: timing is weight-value independent
@@ -118,7 +122,7 @@ def main():
         "hydragen config does not fit HBM; lower HYDRAGEN_BENCH_BS/NEW"
     )
     tput = run_config(engine, prompt, bs, new_tokens, disable_hydragen=False,
-                      kv_quant=kv_quant)
+                      kv_quant=kv_quant, shared_kv_quant=shared_kv)
 
     # No-sharing baseline: the prefix is copied into every row's cache, so
     # halve its batch until the copies fit (reference synth.py's noshared

@@ -53,13 +53,16 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hydragen_tpu.ops.flash import LANES, NEG_CLAMP, NEG_INF, _round_up
+from hydragen_tpu.ops.flash import (
+    LANES, LN2, LOG2E, NEG_CLAMP, NEG_INF, _round_up,
+)
 
 
 def chunk_kv_scales(scale: jax.Array, c: int) -> jax.Array:
@@ -167,8 +170,9 @@ def _decode_cached_kernel(
             l_prev = l_scr[pl.ds(lo, cg), 0:1]
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - jnp.maximum(m_next, NEG_CLAMP))  # masked -> 0
+            # exp2 space: sm_scale carries LOG2E (see ops.flash.LOG2E).
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - jnp.maximum(m_next, NEG_CLAMP))  # masked -> 0
             l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             m_scr[pl.ds(lo, cg)] = jnp.broadcast_to(m_next, (cg, LANES))
             l_scr[pl.ds(lo, cg)] = jnp.broadcast_to(l_next, (cg, LANES))
@@ -210,6 +214,7 @@ def _decode_cached_kernel(
             if merge_own:
                 # This step's own token: softmax over one column is exact in
                 # the online state — one more (score, value) pair per row.
+                # (exp2 space: sm_scale carries LOG2E, matching m.)
                 qf = q_ref[r].astype(jnp.float32) * sm_scale
                 if group > 1:
                     k1e = jax.lax.dot(oh, k1_ref[r].astype(jnp.float32))
@@ -219,21 +224,23 @@ def _decode_cached_kernel(
                     v1e = v1_ref[r].astype(jnp.float32)
                 s_own = jnp.sum(qf * k1e, axis=1, keepdims=True)
                 m_new = jnp.maximum(m, s_own)
-                alpha = jnp.exp(m - m_new)
-                p_own = jnp.exp(s_own - m_new)
+                alpha = jnp.exp2(m - m_new)
+                p_own = jnp.exp2(s_own - m_new)
                 l = alpha * l + p_own
                 acc = acc * alpha + p_own * v1e
                 m = m_new
+            m_nat = m * LN2  # back to natural log for the LSE interface
             if merge_shared:
                 # Exact LSE merge with the shared-prefix partial (the XLA
-                # combine_lse relayed every partial out in f32 per layer —
-                # ~6 copies/layer at 7B bs256, xplane-verified).
+                # combine_lse relayed each partial out in f32 per layer —
+                # ~6 copies/layer at 7B bs256, xplane-verified). lse_sh is
+                # natural-log (the kernel LSE invariant), so merge there.
                 lse_sh = jnp.maximum(lsesh_ref[r][:, 0:1], NEG_INF)
                 osh = osh_ref[r].astype(jnp.float32)
                 l_safe = jnp.maximum(l, 1e-38)
-                lse1 = jnp.where(l > 0.0, m + jnp.log(l_safe), NEG_INF)
+                lse1 = jnp.where(l > 0.0, m_nat + jnp.log(l_safe), NEG_INF)
                 m12 = jnp.maximum(jnp.maximum(lse1, lse_sh), NEG_CLAMP)
-                e1 = jnp.where(l > 0.0, jnp.exp(m - m12), 0.0)
+                e1 = jnp.where(l > 0.0, jnp.exp(m_nat - m12), 0.0)
                 w2 = jnp.exp(lse_sh - m12)
                 num = e1 * acc + w2 * osh
                 den = e1 * l + w2
@@ -243,7 +250,7 @@ def _decode_cached_kernel(
             else:
                 l_safe = jnp.where(l == 0.0, 1.0, l)
                 o_ref[r] = (acc / l_safe).astype(o_ref.dtype)
-                lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
+                lse = jnp.where(l == 0.0, -jnp.inf, m_nat + jnp.log(l_safe))
             lse_ref[r] = jnp.broadcast_to(lse, (cg, LANES)).astype(jnp.float32)
             return 0
 
@@ -329,7 +336,12 @@ def decode_attention_cached(
     if block_s is None:
         # Largest divisor of S within the VMEM-friendly target whose scale
         # block (block_s*hkv lanes) stays a 128-multiple (or covers S).
-        target = min(S, max(8, 4096 // hkv))
+        # Smaller blocks let the clamped index maps skip DMA for the
+        # yet-unfilled tail of the decode window (reads track the filled
+        # length at block granularity) at the cost of more grid cells;
+        # HYDRAGEN_DECODE_BLOCK_S overrides for tuning.
+        env = os.environ.get("HYDRAGEN_DECODE_BLOCK_S")
+        target = int(env) if env else min(S, max(8, 4096 // hkv))
         block_s = next(
             t for t in range(target, 0, -1)
             if S % t == 0 and ((t * hkv) % LANES == 0 or t == S)
@@ -380,7 +392,10 @@ def decode_attention_cached(
     kernel = functools.partial(
         _decode_cached_kernel,
         c=c, group=group, rows=R, block_s=block_s,
-        num_s_blocks=num_s_blocks, sm_scale=scale,
+        # LOG2E folded in: the kernel softmax runs on the VPU-native exp2
+        # (the q-quantization chain is scale-invariant, so the int8 path is
+        # untouched); LSE is converted back to natural log at emit.
+        num_s_blocks=num_s_blocks, sm_scale=scale * LOG2E,
         merge_own=merge_own, merge_shared=merge_shared,
     )
 

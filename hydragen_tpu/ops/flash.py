@@ -48,6 +48,13 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 # (|s| << 1e30) keeps m_next > NEG_CLAMP and the clamp is a no-op.
 NEG_CLAMP = -1e30
 LANES = 128
+# The kernels run their online softmax in exp2 space (the reference's
+# flash-attn discipline, flash.py:124-160): callers fold LOG2E into the
+# q pre-scale, every per-score exp becomes the VPU-native exp2 (a plain
+# exp lowers to exp2 + a multiply pass over the whole score block), and
+# the natural-log LSE is recovered at emit as m*LN2 + log(l).
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 
 def _round_up(x: int, m: int) -> int:
@@ -130,22 +137,23 @@ def _kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_m, block_k]
-        if scale != 1.0:  # caller pre-scales q; guard kept for direct use
-            s = s * scale
+        if scale != 1.0:  # wrappers pre-scale q by scale*LOG2E; direct
+            s = s * scale  # callers must fold LOG2E into `scale` themselves
         if quantized:
             s = s * kscale_ref[0]  # [1, block_k] broadcast over rows
 
         def update(s, p_cols, v_zero):
-            """Online-softmax step. The exp's max is clamped to NEG_CLAMP so
-            masked (NEG_INF) scores underflow to exactly 0 without a second
-            `where` over the score block — at decode scale this kernel is
-            VPU-bound on exactly these passes."""
+            """Online-softmax step in exp2 space (s carries LOG2E from the q
+            pre-scale). The exp2's max is clamped to NEG_CLAMP so masked
+            (NEG_INF) scores underflow to exactly 0 without a second `where`
+            over the score block — at decode scale this kernel is VPU-bound
+            on exactly these passes."""
             m_prev = m_scr[:, 0:1]
             l_prev = l_scr[:, 0:1]
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - jnp.maximum(m_next, NEG_CLAMP))
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - jnp.maximum(m_next, NEG_CLAMP))
             l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
             m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
@@ -217,8 +225,8 @@ def _kernel(
         l = l_scr[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        m = m_scr[:, 0:1]
-        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
+        m = m_scr[:, 0:1]  # base-2 running max; LSE stays natural-log
+        lse = jnp.where(l == 0.0, -jnp.inf, m * LN2 + jnp.log(l_safe))
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
 
 
@@ -277,7 +285,7 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [R*Mp, R*block_k]
-        if scale != 1.0:  # caller pre-scales q
+        if scale != 1.0:  # caller pre-scales q (by scale*LOG2E)
             s = s * scale
         if quantized:
             # Per-token dequant scale, flattened to the score-column layout
@@ -301,10 +309,11 @@ def _decode_kernel(
         l_prev = l_scr[:, 0:1]
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        # Clamped max: masked (NEG_INF) scores underflow exp to exactly 0,
-        # no second `where` pass needed (see NEG_CLAMP).
-        p = jnp.exp(s - jnp.maximum(m_next, NEG_CLAMP))
+        alpha = jnp.exp2(m_prev - m_next)
+        # exp2 space (q pre-scale carries LOG2E). Clamped max: masked
+        # (NEG_INF) scores underflow to exactly 0, no second `where` pass
+        # needed (see NEG_CLAMP).
+        p = jnp.exp2(s - jnp.maximum(m_next, NEG_CLAMP))
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
@@ -338,8 +347,8 @@ def _decode_kernel(
         l = l_scr[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[...] = (acc_scr[...] / l_safe).astype(o_ref.dtype).reshape(o_ref.shape)
-        m = m_scr[:, 0:1]
-        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
+        m = m_scr[:, 0:1]  # base-2 running max; LSE stays natural-log
+        lse = jnp.where(l == 0.0, -jnp.inf, m * LN2 + jnp.log(l_safe))
         lse_ref[...] = jnp.broadcast_to(lse, (rows * mp, LANES)).astype(
             jnp.float32
         ).reshape(lse_ref.shape)
@@ -389,10 +398,10 @@ def flash_attention_bhsd(
     qf = q.reshape(b, hkv, M, d)
     # Pre-scale q ONCE ([M, d] elements) instead of scaling every score
     # ([M, S]): the kernel is VPU-bound on per-score passes at long S, and
-    # the oracle applies the same q-side scaling.
-    if scale != 1.0:
-        qf = (qf.astype(jnp.float32) * scale).astype(q.dtype)
-        scale = 1.0
+    # the oracle applies the same q-side scaling. LOG2E rides along so the
+    # kernel's softmax runs on the VPU-native exp2 (see LOG2E above).
+    qf = (qf.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    scale = 1.0
 
     # Pad head_dim to the 128-lane tile and M to a sublane-friendly block.
     dp = max(_round_up(d, LANES), LANES)
@@ -683,9 +692,10 @@ def flash_attention_cached_bhsd(
 
     M = group * m
     qf = q.reshape(b, hkv, M, d)
-    if scale != 1.0:
-        qf = (qf.astype(jnp.float32) * scale).astype(q.dtype)
-        scale = 1.0
+    # Fold LOG2E into the q pre-scale: the shared _kernel softmax runs in
+    # exp2 space (see LOG2E above).
+    qf = (qf.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    scale = 1.0
 
     dp = max(_round_up(d, LANES), LANES)
     assert d == dp, "head_dim must be a 128-lane multiple for the cached form"

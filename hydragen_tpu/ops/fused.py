@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hydragen_tpu.ops.flash import LN2, LOG2E
+
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 NEG_CLAMP = -1e30  # see ops/flash.py: exp-max clamp replaces the p-mask pass
 LANES = 128
@@ -106,9 +108,10 @@ def _fused_kernel(
         l_prev = l_scr[:, 0:1]
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        # Clamped max: masked (NEG_INF) scores underflow exp to exactly 0.
-        p = jnp.exp(s - jnp.maximum(m_next, NEG_CLAMP))
+        # exp2 space (q pre-scale carries LOG2E, ops/flash.py discipline).
+        alpha = jnp.exp2(m_prev - m_next)
+        # Clamped max: masked (NEG_INF) scores underflow exp2 to exactly 0.
+        p = jnp.exp2(s - jnp.maximum(m_next, NEG_CLAMP))
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
@@ -224,8 +227,8 @@ def _fused_kernel(
         l = l_scr[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[...] = (acc_scr[...] / l_safe).astype(o_ref.dtype).reshape(o_ref.shape)
-        m = m_scr[:, 0:1]
-        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l_safe))
+        m = m_scr[:, 0:1]  # base-2 running max; LSE stays natural-log
+        lse = jnp.where(l == 0.0, -jnp.inf, m * LN2 + jnp.log(l_safe))
         lse_ref[...] = jnp.broadcast_to(lse, (mc, LANES)).astype(jnp.float32).reshape(
             lse_ref.shape
         )
@@ -289,9 +292,10 @@ def _fused_call(
     # d == dp so the kernel DMAs straight out of the cache buffers; only the
     # small per-step q is padded when d < 128 (test-sized heads).
     qf = q.reshape(b, hkv, gm, d)
-    if scale != 1.0:  # pre-scale q once instead of every score (VPU-bound)
-        qf = (qf.astype(jnp.float32) * scale).astype(q.dtype)
-        scale = 1.0
+    # Pre-scale q once instead of every score (VPU-bound); LOG2E folded in
+    # for the exp2-space softmax (ops/flash.py discipline).
+    qf = (qf.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    scale = 1.0
     qp = jnp.pad(qf, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
     if d != dp:
         pad5 = ((0, 0), (0, 0), (0, 0), (0, 0), (0, dp - d))

@@ -36,13 +36,17 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--quant", default="int8")
     ap.add_argument("--kv", default="int8")
+    ap.add_argument("--shared-kv", default="follow",
+                    choices=("follow", "none", "int8"),
+                    help="shared-level KV precision (none = compute dtype; "
+                    "the fast+exact choice at long prefixes)")
     ap.add_argument("--no-trace", action="store_true")
     ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
 
     cfg = PRESETS[args.model]
     quant = None if args.quant in ("", "none") else args.quant
-    kv_quant = args.kv or None
+    kv_quant = None if args.kv in ("", "none") else args.kv
     params = init_params(cfg, jax.random.PRNGKey(0), quantized=quant == "int8")
     engine = HydragenLlama(cfg, params, quantization=quant)
 
@@ -55,6 +59,7 @@ def main():
         max_shared_batch_sizes=[1],
         max_shared_seq_lengths=[args.shared],
         kv_quant=kv_quant,
+        shared_kv_quant=args.shared_kv,
     )
 
     def gen(steps):

@@ -64,7 +64,7 @@ def result_path(outdir: Path, mode: str, bs: int, ns: int, nu: int) -> Path:
 
 def bench_point(engine, mode: str, bs: int, ns: int, nu: int, iters: int,
                 vocab: int, measure_prefill: bool, levels: int = 1,
-                level2_bs: int = 0, kv_quant=None):
+                level2_bs: int = 0, kv_quant=None, shared_kv_quant="follow"):
     from hydragen_tpu.core.engine import SharedCacheOp
 
     rng = np.random.RandomState(0)
@@ -92,6 +92,7 @@ def bench_point(engine, mode: str, bs: int, ns: int, nu: int, iters: int,
         max_shared_batch_sizes=shared_bs,
         max_shared_seq_lengths=shared_len,
         kv_quant=kv_quant,
+        shared_kv_quant=shared_kv_quant,
     )
 
     def gen(max_new=nu):
@@ -130,13 +131,23 @@ def main():
     p.add_argument("--quantization", default=None, choices=[None, "int8"])
     p.add_argument("--kv-quant", default=None, choices=[None, "int8"],
                    help="int8 KV cache (halves KV HBM; enables paper-scale bs)")
+    p.add_argument("--shared-kv", default="follow",
+                   choices=("follow", "none", "int8"),
+                   help="shared-level KV precision (none = compute dtype; "
+                   "the prefix is stored once, so bf16 costs little HBM and "
+                   "skips the dequant VPU pass at every read)")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--measure-prefill", action="store_true")
     args = p.parse_args()
 
-    import jax  # noqa: F401  (device init after arg parsing)
+    import jax
+
+    # Sweep configs recompile identically between (resumed) runs; the
+    # persistent cache cuts repeat wall-clock from minutes to seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from hydragen_tpu.core.engine import HydragenLlama
     from hydragen_tpu.models.config import PRESETS
@@ -195,7 +206,7 @@ def main():
                 engine, mode, bs, ns, nu, args.iters,
                 engine.config.vocab_size, args.measure_prefill,
                 levels=args.levels, level2_bs=args.level2_bs,
-                kv_quant=args.kv_quant,
+                kv_quant=args.kv_quant, shared_kv_quant=args.shared_kv,
             )
             res = SynthBenchmarkResult(
                 mode=mode, batch_size=bs, num_shared=ns, num_unique=nu,
