@@ -1,0 +1,151 @@
+"""Pallas W8A8 GEMM: native s8 x s8 -> i32 matmuls on the MXU.
+
+Why this exists: XLA emulates s8xs8 ``dot_general`` on TPU (~2 TOP/s
+measured, 223 s compile — docs/results_v5e.md), so the engine's int8
+weights feed the MXU as bf16 and the north-star decode step is pinned to
+the ~166 TFLOP/s bf16 matmul floor (~20 ms/step at 7B bs 256). Mosaic,
+however, lowers s8xs8 -> i32 ``dot_general`` natively (the int8 decode
+kernel measured ~116 TOP/s on small attention blocks; v5e's int8 peak is
+~394 TOP/s). If a GEMM-shaped kernel sustains well above 166 TOP/s, W8A8
+halves the matmul floor — the single largest remaining north-star lever.
+
+Quantization scheme (mirrors the attention kernels' discipline):
+- weights: per-output-channel s8 (the engine's existing int8 storage),
+- activations: per-row dynamic s8 (one scale per token row, computed on
+  the fly — same ~0.3-0.5 % RMS noise class as the decode kernel's q/p
+  re-quantization; scripts/quality.py arbitrates).
+
+``w8a8_matmul`` computes ``act_s8 @ w_s8^T * (row_scale x col_scale)``
+with the dequant epilogue fused into the kernel's emit.
+
+Reference anchor: the int4/int8 fused-dequant pattern the reference embeds
+in its kernels (/root/reference/hydragen/xformers_stuff.py:431-530);
+W8A8 itself is beyond-reference (BASELINE.md quantized-engine goals).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hydragen_tpu.ops.flash import LANES, _round_up
+
+
+def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row dynamic activation quantization: [M, K] -> (s8, f32 [M, 1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-20) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / scale).astype(jnp.int8)
+    return q, scale
+
+
+def _w8a8_kernel(
+    a_ref,       # [block_m, block_k] s8
+    w_ref,       # [block_n, block_k] s8  (weights stored [out, in])
+    rs_ref,      # [block_m, 1] f32 row scales
+    cs_ref,      # [1, block_n] f32 col (per-out-channel) scales
+    o_ref,       # [block_m, block_n] out dtype
+    acc_scr,     # [block_m, block_n] i32
+    *,
+    num_k_blocks: int,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    acc_scr[...] += jax.lax.dot_general(
+        a_ref[...], w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _emit():
+        o_ref[...] = (
+            acc_scr[...].astype(jnp.float32) * rs_ref[...] * cs_ref[...]
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype",
+                     "interpret"),
+)
+def w8a8_matmul(
+    a_q: jax.Array,       # [M, K] s8 activations (quantize_rows)
+    a_scale: jax.Array,   # [M, 1] f32
+    w_q: jax.Array,       # [N, K] s8 weights, [out, in] (engine storage)
+    w_scale: jax.Array,   # [N] per-out-channel scales (any float dtype)
+    *,
+    block_m: int | None = None,
+    block_n: int = 512,
+    block_k: int = 1024,
+    out_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+):
+    """``a @ w^T`` with both operands int8 on the MXU's native s8 path.
+
+    Returns ``[M, N]`` in ``out_dtype`` with the (row x out-channel)
+    dequant epilogue fused into the kernel emit.
+    """
+    M, K = a_q.shape
+    N, K2 = w_q.shape
+    assert K == K2, (a_q.shape, w_q.shape)
+    assert a_q.dtype == jnp.int8 and w_q.dtype == jnp.int8
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if block_m is None:
+        block_m = min(256, _round_up(M, 8))
+    block_n = min(block_n, _round_up(N, LANES))
+    block_k = min(block_k, _round_up(K, LANES))
+    Mp = _round_up(M, block_m)
+    assert N % block_n == 0 and K % block_k == 0, (
+        f"N={N} K={K} must tile by ({block_n}, {block_k})"
+    )
+
+    ap = jnp.pad(a_q, ((0, Mp - M), (0, 0)))
+    rs = jnp.pad(a_scale.astype(jnp.float32), ((0, Mp - M), (0, 0)))
+    cs = w_scale.astype(jnp.float32).reshape(1, N)
+
+    grid = (Mp // block_m, N // block_n, K // block_k)
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, num_k_blocks=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda mi, ni, ki: (mi, ki)),
+            pl.BlockSpec((block_n, block_k), lambda mi, ni, ki: (ni, ki)),
+            pl.BlockSpec((block_m, 1), lambda mi, ni, ki: (mi, 0)),
+            pl.BlockSpec((1, block_n), lambda mi, ni, ki: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda mi, ni, ki: (mi, ni)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(ap, wq_contig(w_q), rs, cs)
+    return out[:M]
+
+
+def wq_contig(w_q: jax.Array) -> jax.Array:
+    """Hook for layout experiments; identity today."""
+    return w_q
+
+
+def w8a8_reference(a_q, a_scale, w_q, w_scale, out_dtype=jnp.bfloat16):
+    """f32 oracle for the kernel (exact: int8 values are exact in f32)."""
+    acc = jnp.einsum(
+        "mk,nk->mn", a_q.astype(jnp.float32), w_q.astype(jnp.float32)
+    )
+    return (
+        acc * a_scale.astype(jnp.float32)
+        * w_scale.astype(jnp.float32)[None, :]
+    ).astype(out_dtype)
