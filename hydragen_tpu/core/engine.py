@@ -199,6 +199,9 @@ def _decode_steps(
                 history_lens=upos,
             )
             cache = update_unique_decode(cache, upos, nk, nv, uniform=uniform_pos)
+        # lm_head stays on the weight-only dq path even under w8a8: logits
+        # feed sampling directly, the head is the quality-critical matmul,
+        # and at decode it is <2 % of the step.
         logits = logits_from_hidden(params, cfg, hidden)[:, 0]
         rng, sub = jax.random.split(rng)
         nxt = sample_from_logits(logits, sub, temperature, top_p, 1)
@@ -268,12 +271,19 @@ class HydragenLlama:
         if quantization is not None:
             from hydragen_tpu.ops.quant import QuantizedTensor, quantize_params
 
-            assert quantization == "int8", f"unknown quantization {quantization!r}"
+            assert quantization in ("int8", "w8a8"), (
+                f"unknown quantization {quantization!r}"
+            )
             if not isinstance(params["layers"]["wq"], QuantizedTensor):
                 params = quantize_params(params)
         self.config = config
         self.params = params
         self.impl = impl
+        # "w8a8": activations quantized per row at runtime and matmuls run
+        # on the MXU's native s8 path (ops/gemm.py) instead of the
+        # weight-only dequant-fused bf16 path. Mutable: a jit
+        # specialization key via ForwardSpec.
+        self.matmul_impl = "w8a8" if quantization == "w8a8" else "dq"
         self.mesh = None
         self.cache: Optional[KVCache] = None
         self.num_used_levels = 0
@@ -450,6 +460,7 @@ class HydragenLlama:
             disable_attention=self._disable_attention,
             impl=self.impl,
             sharded=self.mesh is not None,
+            matmul=self.matmul_impl,
             level_batch=tuple(self.level_batch),
         )
 
@@ -493,6 +504,7 @@ class HydragenLlama:
             disable_attention=self._disable_attention,
             impl=self.impl,
             sharded=self.mesh is not None,
+            matmul=self.matmul_impl,
             level_batch=tuple(self.level_batch),
         )
         logits, self.cache = _shared_prefill_step(

@@ -213,6 +213,9 @@ class ForwardSpec(NamedTuple):
     disable_attention: bool
     impl: Optional[str] = None
     sharded: bool = False  # running SPMD over a mesh (disables Pallas paths)
+    # Projection-matmul impl: "dq" (weight-only int8, bf16 MXU) or "w8a8"
+    # (per-row activation quant + native s8 MXU GEMM, ops/gemm.py).
+    matmul: str = "dq"
     # Static filled *prefix count* per active level; () = all fully filled
     # (reference SharedCache.fill accepts bs < max_batch_size, llama.py:120).
     level_batch: Tuple[int, ...] = ()
@@ -424,6 +427,9 @@ def model_forward(
     lp = params["layers"]
     has_bias = "bq" in lp
 
+    def qmm(x, w, subscripts):
+        return qmatmul(x, w, subscripts, impl=spec.matmul)
+
     # Decode-kernel eligibility: int8 BSHD unique cache with lane-major flat
     # scales, single-token queries, prefix-length masking (the ring pool's
     # wrapped windows stay on XLA), single chip. ``impl="xla"`` is the exact
@@ -450,9 +456,9 @@ def model_forward(
         resid = h
         x = rms_norm(h, in_n, cfg.rms_norm_eps)
 
-        q = qmatmul(x, wq, "bth,hd->btd")
-        k = qmatmul(x, wk, "bth,hd->btd")
-        v = qmatmul(x, wv, "bth,hd->btd")
+        q = qmm(x, wq, "bth,hd->btd")
+        k = qmm(x, wk, "bth,hd->btd")
+        v = qmm(x, wv, "bth,hd->btd")
         if has_bias:
             bq, bk, bv, bo = biases
             q, k, v = q + bq, k + bk, v + bv
@@ -620,16 +626,16 @@ def model_forward(
                 attn = combine_lse(outs, lses)
 
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
-        attn = qmatmul(attn, wo, "btd,dh->bth")
+        attn = qmm(attn, wo, "btd,dh->bth")
         if has_bias:
             attn = attn + biases[3]
         h = resid + attn
 
         resid = h
         x = rms_norm(h, post_n, cfg.rms_norm_eps)
-        g = qmatmul(x, gate, "bth,hi->bti")
-        u = qmatmul(x, up, "bth,hi->bti")
-        m = qmatmul(
+        g = qmm(x, gate, "bth,hi->bti")
+        u = qmm(x, up, "bth,hi->bti")
+        m = qmm(
             jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, down,
             "bti,ih->bth",
         )
@@ -690,7 +696,7 @@ def model_forward(
 
 def logits_from_hidden(
     params, cfg: ModelConfig, hidden: jax.Array, seq_lens: jax.Array | None = None,
-    full_logits: bool = False,
+    full_logits: bool = False, matmul: str = "dq",
 ):
     """LM head; last-token-only unless full_logits (llama.py:976-996)."""
     if full_logits:
@@ -700,5 +706,5 @@ def logits_from_hidden(
         to_head = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)
     else:
         to_head = hidden[:, -1:]
-    logits = qmatmul(to_head, params["lm_head"], "bth,hv->btv")
+    logits = qmatmul(to_head, params["lm_head"], "bth,hv->btv", impl=matmul)
     return logits.astype(jnp.float32)

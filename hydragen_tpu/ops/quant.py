@@ -81,15 +81,54 @@ def _swap_weight_term(subscripts: str) -> str:
     return f"{x_term},{w_term}->{out}"
 
 
-def qmatmul(x: jax.Array, w, subscripts: str) -> jax.Array:
+def _w8a8_blocks(N: int, K: int):
+    """Largest Mosaic-friendly (block_n, block_k) tiling N and K, or None."""
+    if N % 128 or K % 128:
+        return None
+    bn = next(b for b in (512, 256, 128) if N % b == 0)
+    bk = next(b for b in (1024, 512, 256, 128) if K % b == 0)
+    return bn, bk
+
+
+def qmatmul(x: jax.Array, w, subscripts: str, impl: str = "dq") -> jax.Array:
     """einsum over a maybe-quantized weight (``subscripts`` written for the
     logical ``[in, out]`` orientation).
 
-    For ``QuantizedTensor``: contract against the transposed int8 payload
-    (cast to the activation dtype; the convert fuses into the dot) then apply
-    the per-output-channel scale once on the result.
+    impl="dq" (default): contract against the transposed int8 payload (cast
+    to the activation dtype; the convert fuses into the dot) then apply the
+    per-output-channel scale once on the result — weight-only quantization,
+    bf16 MXU rate.
+
+    impl="w8a8": per-row dynamic activation quantization + the native
+    s8xs8 Pallas GEMM (ops/gemm.py) — int8 MXU rate, ~0.3-0.5 % RMS
+    activation noise per matmul (scripts/quality.py arbitrates). Applies
+    when the weight is a per-layer 2D QuantizedTensor with 128-tileable
+    dims on a TPU backend (every qmatmul subscript in the model contracts
+    x's last axis against the stored payload's ``in`` axis); anything else
+    falls back to "dq".
     """
     if isinstance(w, QuantizedTensor):
+        if impl == "w8a8" and w.q.ndim == 2:
+            N, K = w.q.shape
+            blocks = _w8a8_blocks(N, K)
+            interpret = None
+            if jax.default_backend() != "tpu":
+                import os
+
+                # Interpret-mode pallas at model scale is too slow for the
+                # CPU suite; opt in explicitly (tiny-dim e2e tests).
+                interpret = bool(os.environ.get("HYDRAGEN_W8A8_INTERPRET"))
+            if blocks is not None and x.shape[-1] == K and interpret is not False:
+                from hydragen_tpu.ops.gemm import quantize_rows, w8a8_matmul
+
+                lead = x.shape[:-1]
+                a_q, a_s = quantize_rows(x.reshape(-1, K))
+                y = w8a8_matmul(
+                    a_q, a_s, w.q, w.scale, block_n=blocks[0],
+                    block_k=blocks[1], out_dtype=x.dtype,
+                    interpret=interpret,
+                )
+                return y.reshape(*lead, N)
         y = jnp.einsum(_swap_weight_term(subscripts), x, w.q.astype(x.dtype))
         # bf16 end to end: an f32 epilogue forced XLA to relayout the f32
         # product for the next matmul before downcasting (transposed 4 MB

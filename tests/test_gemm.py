@@ -49,3 +49,35 @@ def test_quantize_rows_roundtrip():
     err = np.abs(np.asarray(back - x.astype(jnp.float32))).max()
     amax = np.abs(np.asarray(x, np.float32)).max()
     assert err <= amax / 127.0 + 1e-6
+
+
+def test_w8a8_engine_e2e(monkeypatch):
+    """Engine quantization="w8a8" routes layer matmuls through the Pallas
+    s8 GEMM (interpret mode on CPU via HYDRAGEN_W8A8_INTERPRET) and still
+    greedy-decodes in agreement with the weight-only int8 engine."""
+    monkeypatch.setenv("HYDRAGEN_W8A8_INTERPRET", "1")
+    from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
+    from hydragen_tpu.models.config import ModelConfig
+    from hydragen_tpu.models.llama import init_params
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32",
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, 256, (1, 6)).astype(np.int32)
+
+    def run(quantization):
+        eng = HydragenLlama(cfg, params, quantization=quantization)
+        eng.setup_caches(4, 16, [1], [8])
+        return np.asarray(eng.generate(
+            input_ids=[prompt], num_return_sequences=4, max_new_tokens=5,
+            temperature=0.0, shared_cache_op=SharedCacheOp.WIPE,
+        ))
+
+    out_dq = run("int8")
+    out_w8a8 = run("w8a8")
+    agree = (out_dq == out_w8a8).mean()
+    assert agree >= 0.8, f"w8a8 tokens diverged from weight-only int8: {agree}"
