@@ -13,7 +13,8 @@ no-sharing KV would need ~140 GB — not fitting IS the result the paper
 reports; the baseline therefore runs at its own best feasible batch).
 
 Env overrides: HYDRAGEN_BENCH_MODEL (preset name), HYDRAGEN_BENCH_BS,
-HYDRAGEN_BENCH_SHARED, HYDRAGEN_BENCH_NEW, HYDRAGEN_BENCH_QUANT=int8|none,
+HYDRAGEN_BENCH_SHARED, HYDRAGEN_BENCH_NEW,
+HYDRAGEN_BENCH_QUANT=int8|w8a8|none (w8a8 = + per-row activation int8),
 HYDRAGEN_BENCH_KV=int8 (default; "" for bf16 KV),
 HYDRAGEN_BENCH_SHARED_KV=follow|none|int8 (shared-level KV precision;
 "none" keeps the once-stored prefix in bf16 — faster at long prefixes).
@@ -103,6 +104,7 @@ def main():
     new_tokens = int(os.environ.get("HYDRAGEN_BENCH_NEW", "128"))
 
     # North-star config (BASELINE.md): INT8 weights + INT8 KV.
+    # "w8a8" adds per-row dynamic activation int8 (native s8 MXU matmuls).
     quant = os.environ.get("HYDRAGEN_BENCH_QUANT", "int8")
     quant = None if quant in ("", "none") else quant
     kv_quant = os.environ.get("HYDRAGEN_BENCH_KV", "int8") or None
@@ -111,13 +113,14 @@ def main():
     cfg = PRESETS[model]
     # Random weights, quantized at init: timing is weight-value independent
     # and a 7B bf16 original would not fit beside its int8 copy in 16 GB.
-    params = init_params(cfg, jax.random.PRNGKey(0), quantized=quant == "int8")
+    q8 = quant in ("int8", "w8a8")
+    params = init_params(cfg, jax.random.PRNGKey(0), quantized=q8)
     engine = HydragenLlama(cfg, params, quantization=quant)
 
     rng = np.random.RandomState(0)
     prompt = rng.randint(1, cfg.vocab_size, size=(1, shared_len)).astype(np.int32)
 
-    budget = HBM_BYTES - param_bytes(cfg, quant == "int8")
+    budget = HBM_BYTES - param_bytes(cfg, q8)
     assert cache_bytes(cfg, bs, new_tokens, shared_len, kv_quant == "int8") < budget, (
         "hydragen config does not fit HBM; lower HYDRAGEN_BENCH_BS/NEW"
     )

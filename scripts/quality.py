@@ -112,7 +112,8 @@ def quantize_params_per_tensor(params):
 
 
 def run(preset: str, tokens: int, batch: int, seed: int = 0,
-        outliers: bool = False, scheme: str = "per_channel"):
+        outliers: bool = False, scheme: str = "per_channel",
+        quantization: str = "int8"):
     from hydragen_tpu.core.engine import HydragenLlama
     from hydragen_tpu.models.config import PRESETS
     from hydragen_tpu.models.llama import init_params
@@ -132,13 +133,16 @@ def run(preset: str, tokens: int, batch: int, seed: int = 0,
     quantizer = (
         quantize_params if scheme == "per_channel" else quantize_params_per_tensor
     )
-    lo = HydragenLlama(cfg, quantizer(params), quantization="int8")
+    # "w8a8" additionally quantizes activations per row at runtime
+    # (ops/gemm.py); the same gate bounds its extra noise.
+    lo = HydragenLlama(cfg, quantizer(params), quantization=quantization)
     logits_lo = eval_logits(lo, ids)
 
     ce_hi, ce_lo, kl = quality_metrics(logits_hi, logits_lo, ids)
     return {
         "preset": preset if isinstance(preset, str) else "custom",
         "scheme": scheme,
+        "quantization": quantization,
         "outliers": outliers,
         "tokens": tokens * batch,
         "ce_bf16_nats": round(ce_hi, 5),
@@ -165,9 +169,14 @@ def main():
                     help="inject 20x outlier channels (adversarial gate)")
     ap.add_argument("--scheme", default="per_channel",
                     choices=["per_channel", "per_tensor"])
+    ap.add_argument("--quantization", default="int8",
+                    choices=["int8", "w8a8"],
+                    help="w8a8 = weight int8 + per-row dynamic activation "
+                    "int8 (native s8 MXU matmuls)")
     args = ap.parse_args()
     print(json.dumps(run(args.preset, args.tokens, args.batch, args.seed,
-                         outliers=args.outliers, scheme=args.scheme)))
+                         outliers=args.outliers, scheme=args.scheme,
+                         quantization=args.quantization)))
 
 
 if __name__ == "__main__":

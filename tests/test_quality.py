@@ -86,3 +86,19 @@ def test_int8_kv_quality_gate():
     lp_lo = jax.nn.log_softmax(lo, axis=-1)
     kl = float(jnp.sum(jnp.exp(lp_hi) * (lp_hi - lp_lo), axis=-1).mean())
     assert kl < 5e-3, kl
+
+
+def test_w8a8_quality_gate(monkeypatch):
+    """W8A8 (weight int8 + per-row dynamic activation int8, native s8 MXU
+    GEMM) must also clear the ce-delta gate: the activation quantization
+    adds ~0.3-0.5 % RMS per matmul on top of the weight noise."""
+    import sys
+    from pathlib import Path
+
+    monkeypatch.setenv("HYDRAGEN_W8A8_INTERPRET", "1")
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from quality import run
+
+    m = run(CFG, tokens=64, batch=2, quantization="w8a8")
+    assert m["ce_delta_nats"] < 0.015, m
+    assert m["mean_kl_nats"] < 8e-3, m
