@@ -1,0 +1,114 @@
+"""Cross-platform Mosaic lowering of every Pallas kernel.
+
+Interpret mode (the rest of the CPU suite) does not enforce Mosaic's
+layout/tiling rules; ``jax.export`` with ``platforms=['tpu']`` runs the
+Pallas->Mosaic MLIR passes on a CPU-only host and raises on violations —
+the error class that otherwise only surfaces on real hardware (final
+machine-code compilation still happens on-device).
+"""
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+from jax import export
+
+
+def _lower(f, *args):
+    export.export(jax.jit(f), platforms=["tpu"])(*args)
+
+
+def test_flash_generic_lowers():
+    from hydragen_tpu.ops.flash import flash_attention_bhsd
+
+    q = jnp.zeros((1, 4, 256, 128), jnp.bfloat16)
+    k = jnp.zeros((1, 4, 1024, 128), jnp.bfloat16)
+    _lower(
+        lambda q, k, v: flash_attention_bhsd(q, k, v, causal=True,
+                                             interpret=False),
+        q, k, k,
+    )
+
+
+def test_flash_int8_decode_rowbatched_lowers():
+    from hydragen_tpu.ops.flash import flash_attention_bhsd
+
+    # M <= 32 + R > 1 routes to the row-batched decode kernel.
+    q = jnp.zeros((8, 8, 1, 128), jnp.bfloat16)
+    k8 = jnp.zeros((8, 8, 256, 128), jnp.int8)
+    sc = jnp.zeros((8, 8, 256), jnp.float32)
+    lens = jnp.full((8,), 200, jnp.int32)
+    _lower(
+        lambda q, k, v, ks, vs, l: flash_attention_bhsd(
+            q, k, v, kv_seq_lens=l, k_scale=ks, v_scale=vs, interpret=False
+        ),
+        q, k8, k8, sc, sc, lens,
+    )
+
+
+def test_decode_cached_with_merges_lowers():
+    from hydragen_tpu.ops.decode import decode_attention_cached
+
+    L, B, S, hkv, d, hq, b = 2, 8, 64, 8, 128, 16, 8
+    q = jnp.zeros((b, hq, 1, d), jnp.bfloat16)
+    k8 = jnp.zeros((L, B, S, hkv, d), jnp.int8)
+    sc = jnp.zeros((L, B, S * hkv), jnp.float32)
+    lens = jnp.full((b,), 32, jnp.int32)
+    own = jnp.zeros((b, hkv, 1, d), jnp.bfloat16)
+    osh = jnp.zeros((b, hq, 1, d), jnp.bfloat16)
+    lsh = jnp.zeros((b, hq, 1), jnp.float32)
+    _lower(
+        lambda li, q, k, v, ks, vs, l, o1, o2, s1, s2: decode_attention_cached(
+            li, q, k, v, kv_seq_lens=l, k_scale_all=ks, v_scale_all=vs,
+            own_kv=(o1, o2), shared_partial=(s1, s2), interpret=False,
+        ),
+        jnp.int32(0), q, k8, k8, sc, sc, lens, own, own, osh, lsh,
+    )
+
+
+def test_cached_shared_flash_lowers():
+    from hydragen_tpu.ops.flash import flash_attention_cached_bhsd
+
+    q = jnp.zeros((1, 8, 256, 128), jnp.bfloat16)
+    kall = jnp.zeros((2, 1, 8, 2048, 128), jnp.bfloat16)
+    lens = jnp.full((1,), 2048, jnp.int32)
+    _lower(
+        lambda li, q, k, v, l: flash_attention_cached_bhsd(
+            li, q, k, v, kv_seq_lens=l, interpret=False
+        ),
+        jnp.int32(0), q, kall, kall, lens,
+    )
+
+
+def test_w8a8_gemm_lowers():
+    from hydragen_tpu.ops.gemm import w8a8_matmul
+
+    aq = jnp.zeros((256, 1024), jnp.int8)
+    asc = jnp.zeros((256, 1), jnp.float32)
+    wq = jnp.zeros((512, 1024), jnp.int8)
+    wsc = jnp.zeros((512,), jnp.bfloat16)
+    _lower(
+        lambda a, s, w, ws: w8a8_matmul(a, s, w, ws, block_n=256,
+                                        block_k=256, interpret=False),
+        aq, asc, wq, wsc,
+    )
+
+
+def test_fused_cached_lowers():
+    from hydragen_tpu.ops.fused import fused_hydragen_decode_cached
+
+    L, sb, hkv, S, d, b, hq, U = 2, 1, 8, 256, 128, 8, 8, 64
+    q = jnp.zeros((b, hq, 1, d), jnp.bfloat16)
+    sk = jnp.zeros((L, sb, hkv, S, d), jnp.bfloat16)
+    uk = jnp.zeros((L, b, hkv, U, d), jnp.bfloat16)
+    slens = jnp.full((sb,), S, jnp.int32)
+    ulens = jnp.full((b,), 32, jnp.int32)
+    _lower(
+        lambda li, q, sk, sv, sl, uk, uv, ul: fused_hydragen_decode_cached(
+            li, q, sk, sv, sl, uk, uv, ul, interpret=False,
+        ),
+        jnp.int32(0), q, sk, sk, slens, uk, uk, ulens,
+    )
