@@ -460,7 +460,10 @@ class HydragenLlama:
             disable_attention=self._disable_attention,
             impl=self.impl,
             sharded=self.mesh is not None,
-            matmul=self.matmul_impl,
+            # A pallas GEMM is an opaque custom call GSPMD cannot
+            # partition (same constraint as the attention kernels):
+            # sharded runs stay on the dequant-fused XLA path.
+            matmul=self.matmul_impl if self.mesh is None else "dq",
             level_batch=tuple(self.level_batch),
         )
 
@@ -504,7 +507,10 @@ class HydragenLlama:
             disable_attention=self._disable_attention,
             impl=self.impl,
             sharded=self.mesh is not None,
-            matmul=self.matmul_impl,
+            # A pallas GEMM is an opaque custom call GSPMD cannot
+            # partition (same constraint as the attention kernels):
+            # sharded runs stay on the dequant-fused XLA path.
+            matmul=self.matmul_impl if self.mesh is None else "dq",
             level_batch=tuple(self.level_batch),
         )
         logits, self.cache = _shared_prefill_step(
