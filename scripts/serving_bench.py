@@ -41,7 +41,7 @@ def build_requests(rng, n, prompt_len, budget_lo, budget_hi, vocab):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="sheared-llama-1.3b")
-    ap.add_argument("--quantization", default="int8", choices=["int8", "none"])
+    ap.add_argument("--quantization", default="int8", choices=["int8", "w8a8", "none"])
     ap.add_argument("--kv-quant", default=None, choices=[None, "int8"])
     ap.add_argument("--requests", type=int, default=96)
     ap.add_argument("--pool", type=int, default=32)

@@ -128,7 +128,8 @@ def main():
     p.add_argument("--preset", default="sheared-llama-1.3b")
     p.add_argument("--pretrained", default=None)
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--quantization", default=None, choices=[None, "int8"])
+    p.add_argument("--quantization", default=None,
+               choices=[None, "int8", "w8a8"])
     p.add_argument("--kv-quant", default=None, choices=[None, "int8"],
                    help="int8 KV cache (halves KV HBM; enables paper-scale bs)")
     p.add_argument("--shared-kv", default="follow",
@@ -167,7 +168,7 @@ def main():
         engine = HydragenLlama(
             cfg,
             init_params(cfg, __import__("jax").random.PRNGKey(0),
-                        quantized=args.quantization == "int8"),
+                        quantized=args.quantization in ("int8", "w8a8")),
             quantization=args.quantization,
         )
         model_name = args.preset
@@ -196,7 +197,7 @@ def main():
             if path.exists():
                 print(f"skip (exists): {path}")
                 continue
-            if not fits_hbm(engine.config, args.quantization == "int8",
+            if not fits_hbm(engine.config, args.quantization in ("int8", "w8a8"),
                             args.kv_quant == "int8", bs, ns, nu, mode,
                             args.levels):
                 print(f"skip (exceeds HBM): mode={mode} bs={bs} ns={ns} nu={nu}")
