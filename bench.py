@@ -53,13 +53,22 @@ def param_bytes(cfg: ModelConfig, quantized: bool) -> int:
 
 
 def cache_bytes(cfg: ModelConfig, bs: int, unique_len: int, shared_len: int,
-                kv_int8: bool) -> int:
+                kv_int8: bool, shared_int8: bool | None = None) -> int:
+    """shared_int8: shared-level precision (None = follow kv_int8) — the
+    HYDRAGEN_BENCH_SHARED_KV mixed-precision knob must be priced here or the
+    HBM-fit assert passes for configs that OOM at setup_caches."""
+    if shared_int8 is None:
+        shared_int8 = kv_int8
     per_tok = cfg.num_key_value_heads * cfg.head_dim * 2  # k + v
-    tokens = bs * unique_len + shared_len
-    payload = cfg.num_hidden_layers * tokens * per_tok
-    if kv_int8:
-        return payload + cfg.num_hidden_layers * tokens * cfg.num_key_value_heads * 2 * 4
-    return payload * 2
+    L = cfg.num_hidden_layers
+
+    def bytes_for(tokens, int8):
+        payload = L * tokens * per_tok
+        if int8:
+            return payload + L * tokens * cfg.num_key_value_heads * 2 * 4
+        return payload * 2
+
+    return bytes_for(bs * unique_len, kv_int8) + bytes_for(shared_len, shared_int8)
 
 
 def run_config(engine, prompt, bs, new_tokens, disable_hydragen, iters=3,
@@ -121,7 +130,9 @@ def main():
     prompt = rng.randint(1, cfg.vocab_size, size=(1, shared_len)).astype(np.int32)
 
     budget = HBM_BYTES - param_bytes(cfg, q8)
-    assert cache_bytes(cfg, bs, new_tokens, shared_len, kv_quant == "int8") < budget, (
+    shared_int8 = {"follow": kv_quant == "int8", "int8": True, "none": False}[shared_kv]
+    assert cache_bytes(cfg, bs, new_tokens, shared_len, kv_quant == "int8",
+                       shared_int8) < budget, (
         "hydragen config does not fit HBM; lower HYDRAGEN_BENCH_BS/NEW"
     )
     tput = run_config(engine, prompt, bs, new_tokens, disable_hydragen=False,
@@ -142,11 +153,14 @@ def main():
 
     base_bs = bs
     while base_bs > 1 and cache_bytes(
-        cfg, base_bs, new_tokens + shared_len + 8, shared_len, kv_quant == "int8"
+        cfg, base_bs, new_tokens + shared_len + 8, shared_len, kv_quant == "int8",
+        shared_int8,
     ) + repeat_transient(base_bs) > budget:
         base_bs //= 2
+    # Same shared-KV precision as the hydragen arm: the two arms of the
+    # headline ratio must run the identical configuration.
     base = run_config(engine, prompt, base_bs, new_tokens, disable_hydragen=True,
-                      kv_quant=kv_quant)
+                      kv_quant=kv_quant, shared_kv_quant=shared_kv)
 
     tag = quant or "bf16"
     if kv_quant:

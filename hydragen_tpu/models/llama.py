@@ -252,7 +252,9 @@ def _mesh_level_attn_ok(mesh, spec: ForwardSpec, b, hq, hkv, sb, s, m) -> bool:
     sp = mesh.shape["sp"] if "sp" in mesh.axis_names else 1
     m_loc = (hq // hkv) * (b // dp // sb) * m
     s_loc = s // sp
-    return (m_loc >= 256 and s_loc >= 1024) or (m_loc >= 128 and s_loc >= 8192)
+    from hydragen_tpu.ops.hydragen import pallas_wins
+
+    return pallas_wins(m_loc, s_loc)
 
 
 def _mesh_causal_attn_ok(mesh, spec: ForwardSpec, b, hq, hkv, t) -> bool:
@@ -377,7 +379,9 @@ def model_forward(
         if spec.impl == "pallas":
             return True
         m_fold = (nh // nkv) * (b // sb) * t
-        return (m_fold >= 256 and fl >= 1024) or (m_fold >= 128 and fl >= 8192)
+        from hydragen_tpu.ops.hydragen import pallas_wins
+
+        return pallas_wins(m_fold, fl)
 
     shared_cached = tuple(
         _shared_cached_ok(fl, sb)
@@ -696,9 +700,15 @@ def model_forward(
 
 def logits_from_hidden(
     params, cfg: ModelConfig, hidden: jax.Array, seq_lens: jax.Array | None = None,
-    full_logits: bool = False, matmul: str = "dq",
+    full_logits: bool = False,
 ):
-    """LM head; last-token-only unless full_logits (llama.py:976-996)."""
+    """LM head; last-token-only unless full_logits (llama.py:976-996).
+
+    Deliberately ALWAYS the weight-only dq path, even when the engine runs
+    projections in w8a8 (ForwardSpec.matmul): logits feed sampling directly,
+    the head is the quality-critical matmul, and at decode it is <2 % of
+    the step.
+    """
     if full_logits:
         to_head = hidden
     elif seq_lens is not None:
@@ -706,5 +716,5 @@ def logits_from_hidden(
         to_head = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)
     else:
         to_head = hidden[:, -1:]
-    logits = qmatmul(to_head, params["lm_head"], "bth,hv->btv", impl=matmul)
+    logits = qmatmul(to_head, params["lm_head"], "bth,hv->btv")
     return logits.astype(jnp.float32)

@@ -131,13 +131,8 @@ def w8a8_matmul(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(ap, wq_contig(w_q), rs, cs)
+    )(ap, w_q, rs, cs)
     return out[:M]
-
-
-def wq_contig(w_q: jax.Array) -> jax.Array:
-    """Hook for layout experiments; identity today."""
-    return w_q
 
 
 def w8a8_reference(a_q, a_scale, w_q, w_scale, out_dtype=jnp.bfloat16):

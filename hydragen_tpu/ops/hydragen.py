@@ -36,6 +36,19 @@ from hydragen_tpu.ops.combine import combine_lse
 from hydragen_tpu.ops.reference import attention_bhsd
 
 
+def pallas_wins(m: int, s: int) -> bool:
+    """The measured Pallas-vs-XLA crossover for a (folded-M, KV-length)
+    attention read: Pallas once the score matrix is big enough that XLA
+    materializes it in HBM — always at M >= 256, from M >= 128 once the KV
+    stream is long (measured M=128/S=16K: pallas 420 us vs XLA 604 us; at
+    M=64 XLA still fuses the softmax and wins 3x). The SINGLE source of
+    truth — the cached-read gate (models/llama.py _shared_cached_ok) and the
+    shard_map gates (_mesh_level_attn_ok) apply the same rule to their
+    per-call / per-shard shapes, so retuning it here retunes every path.
+    """
+    return (m >= 256 and s >= 1024) or (m >= 128 and s >= 8192)
+
+
 def _pick_impl(impl: str | None) -> str:
     if impl is not None:
         return impl
@@ -73,15 +86,7 @@ def _attention(q, k, v, *, causal, kv_seq_lens, impl, kv_mask=None,
         impl = "xla"
     elif impl in ("auto", "fused"):  # "fused" only changes the decode layer path
         M, s = q.shape[2], k.shape[2]
-        # Pallas when the score matrix is big enough that XLA materializes
-        # it in HBM: always at M >= 256; from M >= 128 once the KV stream is
-        # long (measured M=128/S=16K: pallas 420 us vs XLA 604; at M=64 XLA
-        # still fuses the softmax and wins 3x).
-        impl = (
-            "pallas"
-            if (M >= 256 and s >= 1024) or (M >= 128 and s >= 8192)
-            else "xla"
-        )
+        impl = "pallas" if pallas_wins(M, s) else "xla"
     if impl == "xla":
         return attention_bhsd(
             q, k, v, causal=causal, kv_seq_lens=kv_seq_lens, kv_mask=kv_mask,

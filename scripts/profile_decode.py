@@ -47,7 +47,8 @@ def main():
     cfg = PRESETS[args.model]
     quant = None if args.quant in ("", "none") else args.quant
     kv_quant = None if args.kv in ("", "none") else args.kv
-    params = init_params(cfg, jax.random.PRNGKey(0), quantized=quant == "int8")
+    params = init_params(cfg, jax.random.PRNGKey(0),
+                     quantized=quant in ("int8", "w8a8"))
     engine = HydragenLlama(cfg, params, quantization=quant)
 
     rng = np.random.RandomState(0)

@@ -134,7 +134,14 @@ def run(preset: str, tokens: int, batch: int, seed: int = 0,
         quantize_params if scheme == "per_channel" else quantize_params_per_tensor
     )
     # "w8a8" additionally quantizes activations per row at runtime
-    # (ops/gemm.py); the same gate bounds its extra noise.
+    # (ops/gemm.py); the same gate bounds its extra noise. On a non-TPU
+    # backend the w8a8 path needs interpret-mode pallas (ops/quant.py falls
+    # back to weight-only dq otherwise, which would make this gate vacuous)
+    # -- force it rather than silently measuring the wrong thing.
+    if quantization == "w8a8" and jax.default_backend() != "tpu":
+        import os
+
+        os.environ["HYDRAGEN_W8A8_INTERPRET"] = "1"
     lo = HydragenLlama(cfg, quantizer(params), quantization=quantization)
     logits_lo = eval_logits(lo, ids)
 

@@ -59,7 +59,7 @@ def main():
 
     cfg = PRESETS[args.preset]
     quant = None if args.quantization == "none" else args.quantization
-    params = init_params(cfg, jax.random.PRNGKey(0), quantized=quant == "int8")
+    params = init_params(cfg, jax.random.PRNGKey(0), quantized=quant in ("int8", "w8a8"))
     rng = np.random.RandomState(args.seed)
     prefix = rng.randint(1, cfg.vocab_size, size=(1, args.shared)).astype(np.int32)
     lo, hi = (int(x) for x in args.budget.split(":"))

@@ -31,7 +31,8 @@ MODES = ("hydragen", "hydragen_noshared", "noattention", "hydragen_nohierarchy")
 HBM_BYTES = 15.2e9  # v5e minus runtime/program headroom (bench.py)
 
 
-def fits_hbm(cfg, quantized, kv_int8, bs, ns, nu, mode, levels) -> bool:
+def fits_hbm(cfg, quantized, kv_int8, bs, ns, nu, mode, levels,
+             shared_int8=None) -> bool:
     """Pre-flight HBM estimate so paper-shape grids can include points the
     chip cannot host (the reference's noshared mode OOMs the same way at
     paper scale, synth.py:82-115) — they are skipped with a note instead of
@@ -45,13 +46,21 @@ def fits_hbm(cfg, quantized, kv_int8, bs, ns, nu, mode, levels) -> bool:
     weights = body * (1 if quantized else 2) + cfg.vocab_size * H * 2
     per_tok = cfg.num_key_value_heads * cfg.head_dim * 2
     itemsize = 1 if kv_int8 else 2
+    if shared_int8 is None:
+        shared_int8 = kv_int8
+    s_itemsize = 1 if shared_int8 else 2
     unique_len = nu + 8 + (ns if mode == "hydragen_noshared" else 0)
     if levels == 2:
         unique_len += max(16, ns // 8)
-    tokens = bs * unique_len + ns + (max(16, ns // 8) * bs if levels == 2 else 0)
-    cache = L * tokens * per_tok * itemsize
+    # Unique tokens at kv precision; shared tokens at the (possibly
+    # different) --shared-kv precision — mispricing here defeats the
+    # pre-flight and the sweep crashes mid-run.
+    u_tokens = bs * unique_len + (max(16, ns // 8) * bs if levels == 2 else 0)
+    cache = L * u_tokens * per_tok * itemsize + L * ns * per_tok * s_itemsize
     if kv_int8:
-        cache += L * tokens * cfg.num_key_value_heads * 2 * 4  # f32 scales
+        cache += L * u_tokens * cfg.num_key_value_heads * 2 * 4  # f32 scales
+    if shared_int8:
+        cache += L * ns * cfg.num_key_value_heads * 2 * 4
     transient = 0
     if mode == "hydragen_noshared":  # copy_shared_to_unique's repeat
         transient = L * bs * ns * per_tok * itemsize
@@ -199,7 +208,10 @@ def main():
                 continue
             if not fits_hbm(engine.config, args.quantization in ("int8", "w8a8"),
                             args.kv_quant == "int8", bs, ns, nu, mode,
-                            args.levels):
+                            args.levels,
+                            shared_int8={"follow": args.kv_quant == "int8",
+                                         "int8": True,
+                                         "none": False}[args.shared_kv]):
                 print(f"skip (exceeds HBM): mode={mode} bs={bs} ns={ns} nu={nu}")
                 continue
             print(f"run: mode={mode} bs={bs} shared={ns} unique={nu}")
