@@ -49,6 +49,32 @@ class SharedCacheOp:
     PRESERVE = "preserve"
 
 
+def _finished_mask(tokens_np, eos_token_id, stop_sequences):
+    """``[b, T]`` bool — row i has finished at or before column j.
+
+    A row finishes at the column where it emits ``eos_token_id`` or where
+    any of ``stop_sequences`` (token-id lists) completes as a suffix of its
+    generated stream. Matching is within the generated tokens only
+    (sequences never span into the prompt). Beyond-reference: the
+    reference supports only single-token EOS (README.md:486 lists stop
+    strings as unsupported).
+    """
+    b, T = tokens_np.shape
+    fin = np.zeros((b, T), dtype=bool)
+    if eos_token_id is not None:
+        fin |= tokens_np == eos_token_id
+    for s in stop_sequences or ():
+        s = np.asarray(s, dtype=tokens_np.dtype)
+        L = len(s)
+        if L == 0 or L > T:
+            continue
+        # fin[:, j] |= stream[j-L+1 : j+1] == s  (suffix match per column);
+        # sliding windows via stride tricks keeps this O(b*T*L) numpy-only.
+        win = np.lib.stride_tricks.sliding_window_view(tokens_np, L, axis=1)
+        fin[:, L - 1:] |= (win == s).all(axis=-1)
+    return np.logical_or.accumulate(fin, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Sampling
 # ---------------------------------------------------------------------------
@@ -555,6 +581,7 @@ class HydragenLlama:
         temperature: float = 1.0,
         top_p: Optional[float] = None,
         eos_token_id: Optional[int] = None,
+        stop_sequences: Optional[Sequence[Sequence[int]]] = None,
         return_logits: bool = False,
         shared_cache_op: str = SharedCacheOp.PRESERVE,
         disable_hydragen: bool = False,
@@ -698,10 +725,11 @@ class HydragenLlama:
             # token_overrides force-replay a fixed stream: a *sampled* EOS
             # must not cut the replay short (the remaining forced steps and
             # their logits would be lost), so overrides run one full scan.
-            chunk = (
-                self.eos_chunk
-                if eos_token_id is not None and not use_overrides else 0
+            stops_active = (
+                (eos_token_id is not None or stop_sequences)
+                and not use_overrides
             )
+            chunk = self.eos_chunk if stops_active else 0
             if not chunk or chunk >= steps:
                 plan = [steps]
             else:
@@ -711,7 +739,6 @@ class HydragenLlama:
 
             tok_chunks = [first_token]
             cur_tok = input_first
-            finished = None
             done = 0
             for c in plan:
                 toks, step_logits, self.cache, cur_tok, rng = _decode_steps(
@@ -724,29 +751,30 @@ class HydragenLlama:
                 tok_chunks.append(toks)
                 if return_logits:
                     logits_out.extend(list(step_logits))
-                if eos_token_id is not None and len(plan) > 1:
-                    hit = np.asarray(toks == eos_token_id).any(axis=1)
-                    if finished is None:
-                        finished = np.asarray(first_token[:, 0] == eos_token_id)
-                    finished = finished | hit
-                    if finished.all():
+                if stops_active and len(plan) > 1:
+                    # Match over the full stream so far: stop sequences may
+                    # span a chunk boundary.
+                    fin = _finished_mask(
+                        np.concatenate([np.asarray(t) for t in tok_chunks], axis=1),
+                        eos_token_id, stop_sequences,
+                    )
+                    if fin[:, -1].all():
                         break
             tokens = jnp.concatenate(tok_chunks, axis=1)
         else:
             tokens = first_token
 
-        # EOS early-stop semantics (llama.py:1337-1373): reference breaks the
+        # Early-stop semantics (llama.py:1337-1373): the reference breaks the
         # loop when all rows have finished, without appending the final
-        # sampled token; replicate by truncating.
-        if eos_token_id is not None and tokens.shape[1] > 1:
+        # sampled token; replicate by truncating at the first column where
+        # every row has hit EOS or completed a stop sequence.
+        if (eos_token_id is not None or stop_sequences) and tokens.shape[1] > 1:
             tokens_np = np.asarray(tokens)
-            finished = tokens_np[:, 0:1] == eos_token_id
-            keep = 1
-            for j in range(1, tokens_np.shape[1]):
-                finished = finished | (tokens_np[:, j : j + 1] == eos_token_id)
-                if finished.all():
-                    break  # reference breaks *before* appending this token
-                keep = j + 1
+            fin = _finished_mask(tokens_np, eos_token_id, stop_sequences)
+            all_done = fin.all(axis=0)
+            keep = tokens_np.shape[1]
+            if all_done.any():
+                keep = max(1, int(np.argmax(all_done)))
             tokens = jnp.asarray(tokens_np[:, :keep])
             if return_logits:
                 logits_out = logits_out[:keep]
