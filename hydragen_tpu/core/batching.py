@@ -269,6 +269,17 @@ class _Request:
     tokens: List[int] = field(default_factory=list)
     done: bool = False
     group: int = 0  # finest-level prefix index (sb > 1 pools)
+    # Per-request stop token-id sequences (tuple of tuples); matched
+    # host-side against the generated tail at each readback.
+    stops: tuple = ()
+
+
+def _hit_stop(tokens: List[int], stops: tuple) -> bool:
+    return any(
+        len(s) > 0 and len(tokens) >= len(s)
+        and tokens[-len(s):] == list(s)
+        for s in stops
+    )
 
 
 class ContinuousBatcher:
@@ -349,9 +360,14 @@ class ContinuousBatcher:
 
     # -- submission ----------------------------------------------------------
 
-    def submit(self, ids, max_new_tokens: int = 32, group: int = 0) -> int:
+    def submit(self, ids, max_new_tokens: int = 32, group: int = 0,
+               stop_sequences=None) -> int:
         """``group`` picks the shared-prefix stack (finest level's prefix
-        index) the request decodes under; rows are grouped positionally."""
+        index) the request decodes under; rows are grouped positionally.
+        ``stop_sequences``: per-request token-id sequences ending the
+        request early (engine.generate semantics; matched at readbacks, so
+        a stopped row may compute up to one lookahead chunk of masked
+        garbage before its slot frees)."""
         ids = np.asarray(ids, dtype=np.int32).reshape(-1)
         assert ids.size + max_new_tokens <= self.U, (
             f"request needs {ids.size + max_new_tokens} ring slots, "
@@ -362,7 +378,10 @@ class ContinuousBatcher:
         )
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append(_Request(rid, ids, max_new_tokens, group=group))
+        stops = tuple(tuple(int(t) for t in s) for s in (stop_sequences or ()))
+        self._queue.append(
+            _Request(rid, ids, max_new_tokens, group=group, stops=stops)
+        )
         return rid
 
     # -- internals -----------------------------------------------------------
@@ -453,7 +472,11 @@ class ContinuousBatcher:
         for row, tok in zip(fresh_rows, firsts):
             req = self._rows[row]
             req.tokens.append(int(tok))
-            if (self.eos >= 0 and tok == self.eos) or req.max_new_tokens <= 1:
+            if (
+                (self.eos >= 0 and tok == self.eos)
+                or req.max_new_tokens <= 1
+                or _hit_stop(req.tokens, req.stops)
+            ):
                 finished.append(row)
         return finished
 
@@ -473,23 +496,38 @@ class ContinuousBatcher:
             for row in first_finished:
                 self._retire(row)
         toks = np.asarray(toks_dev)
+        stopped_rows = []
         for row, req in snapshot.items():
             if req is None or req.done:
                 continue
+            hit_stop = False
             for tok in toks[row]:
                 if tok < 0:
                     break
                 req.tokens.append(int(tok))
                 if self.eos >= 0 and tok == self.eos:
                     break
+                if _hit_stop(req.tokens, req.stops):
+                    hit_stop = True
+                    break
                 if len(req.tokens) >= req.max_new_tokens:
                     break
             # Budget/eos retirement is host-derived (the device deactivates
             # at the same step), so no sync on the *next* chunk's state.
-            if len(req.tokens) >= req.max_new_tokens or (
-                self.eos >= 0 and req.tokens and req.tokens[-1] == self.eos
+            # Stop-sequence retirement the device cannot see: deactivate the
+            # row below or it decodes garbage until re-admission.
+            if (
+                len(req.tokens) >= req.max_new_tokens
+                or (self.eos >= 0 and req.tokens and req.tokens[-1] == self.eos)
+                or hit_stop
             ):
+                if hit_stop and self._rows.get(row) is req:
+                    stopped_rows.append(row)
                 self._retire(row)
+        if stopped_rows:
+            self.state = self.state._replace(
+                active=self.state.active.at[np.asarray(stopped_rows)].set(False)
+            )
 
     def _drain_pending(self) -> None:
         prev, self._pending = self._pending, None

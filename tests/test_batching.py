@@ -154,3 +154,37 @@ def test_continuous_batching_grouped_prefixes(setup):
     for i, (rid, prompt) in enumerate(zip(rids, prompts)):
         want = reference_tokens(params, shared2[i % 2][None], prompt, max_new)
         assert results[rid] == want, f"rid {rid} (group {i % 2})"
+
+
+def test_continuous_batching_stop_sequences(setup):
+    """Per-request stop sequences retire rows early with exact tails, and
+    the freed rows are re-admitted to queued requests."""
+    params, shared, prompts = setup
+    max_new = 10
+
+    # Oracle streams (no stops) to pick a 2-gram per request.
+    streams = [
+        reference_tokens(params, shared, p, max_new) for p in prompts[:4]
+    ]
+    # Request 0 stops on the 2-gram at positions 2..3 of its own stream;
+    # request 1 on a gram it never emits (runs to budget); 2 and 3 unstopped.
+    gram0 = streams[0][2:4]
+    never = [127, 126]
+
+    eng = HydragenLlama(CFG, params)
+    eng.setup_caches(2, 32, [1], [16])
+    eng.append_shared(shared)
+    cb = ContinuousBatcher(eng, chunk=3, bucket=4, temperature=0.0)
+    r0 = cb.submit(prompts[0], max_new_tokens=max_new, stop_sequences=[gram0])
+    r1 = cb.submit(prompts[1], max_new_tokens=max_new, stop_sequences=[never])
+    r2 = cb.submit(prompts[2], max_new_tokens=max_new)
+    r3 = cb.submit(prompts[3], max_new_tokens=max_new)
+    results = cb.run()
+
+    # r0 ends exactly at the completed gram (greedy determinism).
+    assert results[r0] == streams[0][:4], (results[r0], streams[0])
+    assert results[r0][-2:] == gram0
+    # r1 ignores the unmatched stop and runs its full budget.
+    assert results[r1] == streams[1]
+    assert results[r2] == streams[2]
+    assert results[r3] == streams[3]
