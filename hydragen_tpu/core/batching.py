@@ -365,9 +365,12 @@ class ContinuousBatcher:
         """``group`` picks the shared-prefix stack (finest level's prefix
         index) the request decodes under; rows are grouped positionally.
         ``stop_sequences``: per-request token-id sequences ending the
-        request early (engine.generate semantics; matched at readbacks, so
-        a stopped row may compute up to one lookahead chunk of masked
-        garbage before its slot frees)."""
+        request early. Per-request semantics: the returned tokens run up to
+        AND INCLUDING the completed stop sequence (unlike the batch-global
+        ``generate`` truncation, which mirrors the reference's EOS
+        break-before-append and may drop the last finisher's final column).
+        Matched host-side at readbacks, so a stopped row may compute up to
+        one lookahead chunk of masked garbage before its slot frees."""
         ids = np.asarray(ids, dtype=np.int32).reshape(-1)
         assert ids.size + max_new_tokens <= self.U, (
             f"request needs {ids.size + max_new_tokens} ring slots, "

@@ -595,6 +595,11 @@ class HydragenLlama:
         assert not (input_ids is None and starting_logits is None)
         if temperature < 0:
             raise ValueError(f"temperature must be non-negative, got {temperature}")
+        # Normalize early: callers naturally pass ndarrays (every other token
+        # argument accepts them) and ndarray truthiness raises.
+        stop_sequences = tuple(
+            tuple(int(t) for t in s) for s in stop_sequences
+        ) if stop_sequences is not None else ()
 
         if input_ids is None:
             input_ids = []
@@ -740,6 +745,14 @@ class HydragenLlama:
             tok_chunks = [first_token]
             cur_tok = input_first
             done = 0
+            # Incremental inter-chunk matching: carry a per-row finished
+            # vector plus the last (max_stop_len - 1) tokens, and rematch
+            # only [tail, new chunk] each boundary — O(chunk) host work per
+            # boundary (not a full-stream rescan), while stop sequences
+            # spanning a chunk boundary still match inside the window.
+            fin_rows = None
+            max_l = max((len(s) for s in stop_sequences), default=1)
+            tail = np.asarray(first_token)
             for c in plan:
                 toks, step_logits, self.cache, cur_tok, rng = _decode_steps(
                     self.params, self.cache, cur_tok, start_pos + done,
@@ -752,14 +765,14 @@ class HydragenLlama:
                 if return_logits:
                     logits_out.extend(list(step_logits))
                 if stops_active and len(plan) > 1:
-                    # Match over the full stream so far: stop sequences may
-                    # span a chunk boundary.
-                    fin = _finished_mask(
-                        np.concatenate([np.asarray(t) for t in tok_chunks], axis=1),
-                        eos_token_id, stop_sequences,
-                    )
-                    if fin[:, -1].all():
+                    window = np.concatenate([tail, np.asarray(toks)], axis=1)
+                    fin = _finished_mask(window, eos_token_id, stop_sequences)
+                    hit = fin[:, -1]  # finished anywhere in the window
+                    fin_rows = hit if fin_rows is None else (fin_rows | hit)
+                    if fin_rows.all():
                         break
+                    tail = window[:, window.shape[1] - (max_l - 1):] \
+                        if max_l > 1 else window[:, :0]
             tokens = jnp.concatenate(tok_chunks, axis=1)
         else:
             tokens = first_token
