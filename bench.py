@@ -108,9 +108,14 @@ def main():
     model = os.environ.get("HYDRAGEN_BENCH_MODEL", "llama-2-7b")
     bs = int(os.environ.get("HYDRAGEN_BENCH_BS", "256"))
     shared_len = int(os.environ.get("HYDRAGEN_BENCH_SHARED", "2048"))
-    # 128 new tokens = the reference sweep protocol's lower arm
-    # (docs/sweeps_from_paper.md:27-49 uses 128/256).
-    new_tokens = int(os.environ.get("HYDRAGEN_BENCH_NEW", "128"))
+    # 64 new tokens: the reference protocol's arm is 128/256
+    # (docs/sweeps_from_paper.md:27-49), but at bs 256 the 7B unique int8 KV
+    # for 128 slots alone is ~8.9 GB vs the ~8.3 GB left beside int8
+    # weights on a 16 GB v5e — the protocol point does not fit at the
+    # tracked batch. The headline keeps the round-over-round comparable
+    # (bs 256, 2K, 64-new) config; the 7B synth sweep covers the 128-new
+    # protocol arm at feasible batches.
+    new_tokens = int(os.environ.get("HYDRAGEN_BENCH_NEW", "64"))
 
     # North-star config (BASELINE.md): INT8 weights + INT8 KV.
     # "w8a8" adds per-row dynamic activation int8 (native s8 MXU matmuls).
@@ -131,10 +136,12 @@ def main():
 
     budget = HBM_BYTES - param_bytes(cfg, q8)
     shared_int8 = {"follow": kv_quant == "int8", "int8": True, "none": False}[shared_kv]
-    assert cache_bytes(cfg, bs, new_tokens, shared_len, kv_quant == "int8",
-                       shared_int8) < budget, (
-        "hydragen config does not fit HBM; lower HYDRAGEN_BENCH_BS/NEW"
-    )
+    # Safety net, not an abort: halve bs until the hydragen arm fits (and
+    # say so in the metric name) rather than dying at the driver's hands.
+    req_bs = bs
+    while bs > 1 and cache_bytes(cfg, bs, new_tokens, shared_len,
+                                 kv_quant == "int8", shared_int8) >= budget:
+        bs //= 2
     tput = run_config(engine, prompt, bs, new_tokens, disable_hydragen=False,
                       kv_quant=kv_quant, shared_kv_quant=shared_kv)
 
@@ -170,14 +177,17 @@ def main():
     # not fitting IS the paper's point) — it is a system-level ratio, not an
     # equal-batch kernel speedup; see docs/results_v5e.md for equal-batch
     # numbers where both fit.
-    print(json.dumps({
+    result = {
         "metric": "decode_throughput_%s_%s_bs%d_shared%d"
         % (model, tag, bs, shared_len),
         "value": round(tput, 1),
         "unit": "tok/s",
         "vs_baseline": round(tput / base, 3),
         "baseline_bs": base_bs,
-    }))
+    }
+    if bs != req_bs:  # HBM safety net engaged (see the halving loop above)
+        result["requested_bs"] = req_bs
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
