@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,16 @@ LN2 = 0.6931471805599453
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _env_block(name: str) -> int | None:
+    """Tuning override (HYDRAGEN_FLASH_BLOCK_M / _K) for the default block
+    sizes below — lets the flatness/roofline sweeps tune kernel tiling from
+    the environment without touching call sites. Read at trace time; the
+    jit caches key on ``block_*=None``, so a changed env var needs a fresh
+    process (the sweep scripts run one config per process anyway)."""
+    v = os.environ.get(name)
+    return int(v) if v else None
 
 
 def _flatten_rows_to_lanes(x2d: jax.Array, rows: int, width: int) -> jax.Array:
@@ -406,10 +417,14 @@ def flash_attention_bhsd(
     # Pad head_dim to the 128-lane tile and M to a sublane-friendly block.
     dp = max(_round_up(d, LANES), LANES)
     if block_m is None:
-        block_m = min(512, max(16, _round_up(M, 16)))
+        block_m = _env_block("HYDRAGEN_FLASH_BLOCK_M") or min(
+            512, max(16, _round_up(M, 16))
+        )
     Mp = _round_up(M, block_m)
     if block_k is None:
-        block_k = min(512, max(LANES, _round_up(min(s, 512), LANES)))
+        block_k = _env_block("HYDRAGEN_FLASH_BLOCK_K") or min(
+            512, max(LANES, _round_up(min(s, 512), LANES))
+        )
     num_kv_blocks = -(-s // block_k)
 
     quantized = k_scale is not None
@@ -445,8 +460,9 @@ def flash_attention_bhsd(
         R = next((r for r in (16, 8, 4, 2, 1) if B % r == 0), 1)
         if R > 1:
             mp_dec = _round_up(M, 8)
-            bk_dec = block_k if block_k is not None else min(
-                512, max(LANES, _round_up(min(s, 512), LANES))
+            bk_dec = block_k if block_k is not None else (
+                _env_block("HYDRAGEN_FLASH_BLOCK_K")
+                or min(512, max(LANES, _round_up(min(s, 512), LANES)))
             )
             return _flash_decode_call(
                 qf, k, v, lens, hkv=hkv, group=group, m=m, mp=mp_dec,
@@ -700,10 +716,14 @@ def flash_attention_cached_bhsd(
     dp = max(_round_up(d, LANES), LANES)
     assert d == dp, "head_dim must be a 128-lane multiple for the cached form"
     if block_m is None:
-        block_m = min(512, max(16, _round_up(M, 16)))
+        block_m = _env_block("HYDRAGEN_FLASH_BLOCK_M") or min(
+            512, max(16, _round_up(M, 16))
+        )
     Mp = _round_up(M, block_m)
     if block_k is None:
-        block_k = min(512, max(LANES, _round_up(min(s, 512), LANES)))
+        block_k = _env_block("HYDRAGEN_FLASH_BLOCK_K") or min(
+            512, max(LANES, _round_up(min(s, 512), LANES))
+        )
     num_kv_blocks = -(-s // block_k)
 
     quantized = k_scale_all is not None

@@ -138,7 +138,7 @@ def main():
     p.add_argument("--pretrained", default=None)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--quantization", default=None,
-               choices=[None, "int8", "w8a8"])
+               choices=[None, "int8", "w8a8", "int4", "w4a8"])
     p.add_argument("--kv-quant", default=None, choices=[None, "int8"],
                    help="int8 KV cache (halves KV HBM; enables paper-scale bs)")
     p.add_argument("--shared-kv", default="follow",
@@ -147,6 +147,11 @@ def main():
                    "the prefix is stored once, so bf16 costs little HBM and "
                    "skips the dequant VPU pass at every read)")
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--impl", default=None,
+                   choices=(None, "auto", "xla", "pallas", "fused"),
+                   help="attention impl override (engine default: auto); "
+                   "'fused' = the single-launch shared++unique decode kernel "
+                   "(ops/fused.py) — the win-or-delete experiment")
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--measure-prefill", action="store_true")
@@ -165,7 +170,8 @@ def main():
 
     if args.pretrained:
         engine = HydragenLlama.from_pretrained(
-            args.pretrained, dtype=args.dtype, quantization=args.quantization
+            args.pretrained, dtype=args.dtype, quantization=args.quantization,
+            impl=args.impl,
         )
         model_name = args.pretrained
     else:
@@ -177,8 +183,9 @@ def main():
         engine = HydragenLlama(
             cfg,
             init_params(cfg, __import__("jax").random.PRNGKey(0),
-                        quantized=args.quantization in ("int8", "w8a8")),
+                        quantized=args.quantization or False),
             quantization=args.quantization,
+            impl=args.impl,
         )
         model_name = args.preset
     if args.tp * args.dp > 1:
@@ -206,7 +213,7 @@ def main():
             if path.exists():
                 print(f"skip (exists): {path}")
                 continue
-            if not fits_hbm(engine.config, args.quantization in ("int8", "w8a8"),
+            if not fits_hbm(engine.config, bool(args.quantization),
                             args.kv_quant == "int8", bs, ns, nu, mode,
                             args.levels,
                             shared_int8={"follow": args.kv_quant == "int8",
