@@ -14,7 +14,8 @@ reports; the baseline therefore runs at its own best feasible batch).
 
 Env overrides: HYDRAGEN_BENCH_MODEL (preset name), HYDRAGEN_BENCH_BS,
 HYDRAGEN_BENCH_SHARED, HYDRAGEN_BENCH_NEW,
-HYDRAGEN_BENCH_QUANT=int8|w8a8|none (w8a8 = + per-row activation int8),
+HYDRAGEN_BENCH_QUANT=int8|w8a8|int4|w4a8|none (w8a8 = + per-row activation
+int8 on the s8 MXU; int4/w4a8 = group-wise 4-bit weights, dq / s8 MXU),
 HYDRAGEN_BENCH_KV=int8 (default; "" for bf16 KV),
 HYDRAGEN_BENCH_SHARED_KV=follow|none|int8 (shared-level KV precision;
 "none" keeps the once-stored prefix in bf16 — faster at long prefixes).
@@ -42,14 +43,19 @@ from hydragen_tpu.utils.timing import timed
 HBM_BYTES = 15.2e9  # v5e: 16 GB minus runtime/program/activation headroom
 
 
-def param_bytes(cfg: ModelConfig, quantized: bool) -> int:
+def param_bytes(cfg: ModelConfig, quant) -> int:
     per_layer = (
         4 * cfg.hidden_size * cfg.hidden_size
         + 3 * cfg.hidden_size * cfg.intermediate_size
     )
-    body = per_layer * cfg.num_hidden_layers + cfg.hidden_size * cfg.vocab_size
+    body = per_layer * cfg.num_hidden_layers
+    head = cfg.hidden_size * cfg.vocab_size
     embed = cfg.vocab_size * cfg.hidden_size * 2  # bf16 (gather table)
-    return body * (1 if quantized else 2) + embed
+    if quant in ("int4", "w4a8"):
+        # nibble-packed payload + bf16 group scales (1/128); lm_head INT8.
+        return int(body * (0.5 + 2 / 128)) + head + embed
+    w = 1 if quant else 2
+    return (body + head) * w + embed
 
 
 def cache_bytes(cfg: ModelConfig, bs: int, unique_len: int, shared_len: int,
@@ -127,14 +133,13 @@ def main():
     cfg = PRESETS[model]
     # Random weights, quantized at init: timing is weight-value independent
     # and a 7B bf16 original would not fit beside its int8 copy in 16 GB.
-    q8 = quant in ("int8", "w8a8")
-    params = init_params(cfg, jax.random.PRNGKey(0), quantized=q8)
+    params = init_params(cfg, jax.random.PRNGKey(0), quantized=quant or False)
     engine = HydragenLlama(cfg, params, quantization=quant)
 
     rng = np.random.RandomState(0)
     prompt = rng.randint(1, cfg.vocab_size, size=(1, shared_len)).astype(np.int32)
 
-    budget = HBM_BYTES - param_bytes(cfg, q8)
+    budget = HBM_BYTES - param_bytes(cfg, quant)
     shared_int8 = {"follow": kv_quant == "int8", "int8": True, "none": False}[shared_kv]
     # Safety net, not an abort: halve bs until the hydragen arm fits (and
     # say so in the metric name) rather than dying at the driver's hands.

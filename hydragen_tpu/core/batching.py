@@ -211,11 +211,11 @@ def _decode_chunk(
     U = cache.max_unique_seq_len
 
     from hydragen_tpu.core.cache import update_unique_decode
-    from hydragen_tpu.ops.quant import QuantizedTensor
+    from hydragen_tpu.ops.quant import is_quantized_weight
 
-    # In-place unrolled decode only with int8 weights (whose layer loop
+    # In-place unrolled decode only with int8/int4 weights (whose layer loop
     # unrolls anyway); bf16 keeps the rolled scan — same gate as the engine.
-    w_quantized = isinstance(params["layers"]["wq"], QuantizedTensor)
+    w_quantized = is_quantized_weight(params["layers"]["wq"])
 
     def step(carry, _):
         cache, st, rng = carry

@@ -211,9 +211,9 @@ def _decode_steps(
         # prefers the rolled scan — 24x cheaper compile, measured faster)
         # and off for the disable_hydragen ablation, whose full-prefix rows
         # make the unrolled loop's dequant transients exceed HBM.
-        from hydragen_tpu.ops.quant import QuantizedTensor
+        from hydragen_tpu.ops.quant import is_quantized_weight
 
-        w_quantized = isinstance(params["layers"]["wq"], QuantizedTensor)
+        w_quantized = is_quantized_weight(params["layers"]["wq"])
         if uniform_pos and w_quantized and not spec.disable_hydragen:
             hidden, cache = model_forward(
                 params, cfg, cache, tok, pos, upos[:, None], spec,
@@ -295,13 +295,25 @@ class HydragenLlama:
         eos_chunk: int = 32,
     ):
         if quantization is not None:
-            from hydragen_tpu.ops.quant import QuantizedTensor, quantize_params
+            from hydragen_tpu.ops.quant import (
+                Quantized4Tensor,
+                QuantizedTensor,
+                quantize_params,
+            )
 
-            assert quantization in ("int8", "w8a8"), (
+            assert quantization in ("int8", "w8a8", "int4", "w4a8"), (
                 f"unknown quantization {quantization!r}"
             )
-            if not isinstance(params["layers"]["wq"], QuantizedTensor):
-                params = quantize_params(params)
+            bits = 4 if quantization in ("int4", "w4a8") else 8
+            want = Quantized4Tensor if bits == 4 else QuantizedTensor
+            if not isinstance(params["layers"]["wq"], want):
+                assert not isinstance(
+                    params["layers"]["wq"], (QuantizedTensor, Quantized4Tensor)
+                ), (
+                    f"params already quantized at a different width than "
+                    f"{quantization!r}"
+                )
+                params = quantize_params(params, bits=bits)
         self.config = config
         self.params = params
         self.impl = impl
@@ -309,7 +321,9 @@ class HydragenLlama:
         # on the MXU's native s8 path (ops/gemm.py) instead of the
         # weight-only dequant-fused bf16 path. Mutable: a jit
         # specialization key via ForwardSpec.
-        self.matmul_impl = "w8a8" if quantization == "w8a8" else "dq"
+        self.matmul_impl = (
+            quantization if quantization in ("w8a8", "w4a8") else "dq"
+        )
         self.mesh = None
         self.cache: Optional[KVCache] = None
         self.num_used_levels = 0

@@ -48,13 +48,16 @@ def load_checkpoint(path: str):
 
 def _restore_quantized(params):
     """Orbax restores NamedTuples as dicts without the target structure;
-    rebuild QuantizedTensor nodes from their {'q', 'scale'} signature."""
-    from hydragen_tpu.ops.quant import QuantizedTensor
+    rebuild QuantizedTensor / Quantized4Tensor nodes from their field
+    signatures ({'q', 'scale'} / {'qp', 'gscale'})."""
+    from hydragen_tpu.ops.quant import Quantized4Tensor, QuantizedTensor
 
     def fix(node):
         if isinstance(node, dict):
             if set(node.keys()) == {"q", "scale"}:
                 return QuantizedTensor(q=node["q"], scale=node["scale"])
+            if set(node.keys()) == {"qp", "gscale"}:
+                return Quantized4Tensor(qp=node["qp"], gscale=node["gscale"])
             return {k: fix(v) for k, v in node.items()}
         return node
 

@@ -49,16 +49,43 @@ def _np_quantize(arr: np.ndarray):
     )
 
 
+def _np_quantize4(arr: np.ndarray, group: int = 128):
+    """Host-side symmetric int4 group-wise quantization (ops/quant.quantize4
+    semantics: bf16-rounded scales, [-7, 7] grid, planar nibble pack)."""
+    import ml_dtypes
+
+    from hydragen_tpu.ops.quant import Quantized4Tensor, pick_group4
+
+    *lead, K, N = arr.shape
+    g = pick_group4(K, group)
+    G = K // g
+    wf = arr.astype(np.float32).reshape(*lead, G, g, N)
+    amax = np.abs(wf).max(axis=-2, keepdims=True)
+    gscale = (np.maximum(amax, 1e-8) / 7.0).astype(ml_dtypes.bfloat16)
+    q = np.clip(np.round(wf / gscale.astype(np.float32)), -7, 7)
+    q = q.astype(np.int8).reshape(*lead, K, N)
+    qt = np.swapaxes(q, -1, -2).astype(np.int32)  # [.., out, in]
+    lo, hi = qt[..., : K // 2], qt[..., K // 2:]
+    return Quantized4Tensor(
+        qp=jnp.asarray(((hi << 4) | (lo & 0xF)).astype(np.int8)),
+        gscale=jnp.asarray(np.squeeze(gscale, -2)),
+    )
+
+
 def params_from_hf_state_dict(state_dict, cfg: ModelConfig, quantization=None):
     """Convert a HF Llama state dict to the stacked param pytree.
 
-    quantization="int8" quantizes the projection matrices (and lm_head) on
-    the host during conversion.
+    quantization="int8" (or "w8a8" — same INT8 storage, the engine only
+    changes the matmul path) quantizes the projection matrices (and
+    lm_head) on the host during conversion; "int4"/"w4a8" packs the
+    projections to INT4 group-wise (lm_head stays INT8 — quality-critical,
+    see ops/quant.py quantize_params).
     """
-    assert quantization in (None, "int8")
+    assert quantization in (None, "int8", "w8a8", "int4", "w4a8")
     dt = cfg.jax_dtype
     L = cfg.num_hidden_layers
-    quant = quantization == "int8"
+    quant = quantization is not None
+    int4 = quantization in ("int4", "w4a8")
 
     def get(name):
         return _to_np(state_dict[name])
@@ -67,7 +94,7 @@ def params_from_hf_state_dict(state_dict, cfg: ModelConfig, quantization=None):
         mats = [get(fmt.format(i)) for i in range(L)]
         arr = np.stack([m.T if transpose else m for m in mats])
         if quantize and quant:
-            return _np_quantize(arr)
+            return _np_quantize4(arr) if int4 else _np_quantize(arr)
         return jnp.asarray(arr, dtype=dt)
 
     params = {

@@ -43,14 +43,19 @@ from hydragen_tpu.ops.quant import qmatmul
 # Parameter initialization / structure
 # ---------------------------------------------------------------------------
 
-def init_params(cfg: ModelConfig, key: jax.Array, quantized: bool = False):
+def init_params(
+    cfg: ModelConfig, key: jax.Array, quantized: bool | str = False
+):
     """Random-init params (for tests and benchmarks without checkpoints).
 
     ``quantized=True`` creates INT8 weights *directly* (random int8 payload +
     magnitude-matched scales) — a 7B model cannot hold bf16 originals and
     int8 copies simultaneously on a 16 GB chip, and benchmark timing does
-    not depend on weight values.
+    not depend on weight values. ``quantized="int4"`` (or "w4a8") creates
+    planar-packed INT4 weights the same way (lm_head stays INT8 — see
+    ops/quant.py quantize_params).
     """
+    int4 = quantized in ("int4", "w4a8")
     H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     L = cfg.num_hidden_layers
     Hq = cfg.num_attention_heads * cfg.head_dim
@@ -59,9 +64,23 @@ def init_params(cfg: ModelConfig, key: jax.Array, quantized: bool = False):
 
     keys = jax.random.split(key, 12)
 
-    def dense(k, shape, fan_in):
+    def dense(k, shape, fan_in, int4_ok=False):
         # Sample directly in the target dtype: a 7B model's fp32 transients
         # would exceed a single v5e's 16 GB HBM.
+        if quantized and int4 and int4_ok:
+            from hydragen_tpu.ops.quant import Quantized4Tensor, pick_group4
+
+            K = shape[-2]
+            g = pick_group4(K)
+            # Packed payload stored [out, in//2] (see Quantized4Tensor).
+            pshape = shape[:-2] + (shape[-1], K // 2)
+            qp = jax.random.randint(k, pshape, -128, 128, dtype=jnp.int8)
+            gscale = jnp.full(
+                shape[:-2] + (K // g, shape[-1]),
+                1.0 / (4.0 * math.sqrt(fan_in)),  # ~unit-normal group amax
+                dtype=jnp.bfloat16,
+            )
+            return Quantized4Tensor(qp=qp, gscale=gscale)
         if quantized:
             from hydragen_tpu.ops.quant import QuantizedTensor
 
@@ -90,13 +109,13 @@ def init_params(cfg: ModelConfig, key: jax.Array, quantized: bool = False):
         "layers": {
             "input_norm": jnp.ones((L, H), dtype=dt),
             "post_attn_norm": jnp.ones((L, H), dtype=dt),
-            "wq": dense(keys[2], (L, H, Hq), H),
-            "wk": dense(keys[3], (L, H, Hkv), H),
-            "wv": dense(keys[4], (L, H, Hkv), H),
-            "wo": dense(keys[5], (L, Hq, H), Hq),
-            "gate": dense(keys[6], (L, H, I), H),
-            "up": dense(keys[7], (L, H, I), H),
-            "down": dense(keys[8], (L, I, H), I),
+            "wq": dense(keys[2], (L, H, Hq), H, int4_ok=True),
+            "wk": dense(keys[3], (L, H, Hkv), H, int4_ok=True),
+            "wv": dense(keys[4], (L, H, Hkv), H, int4_ok=True),
+            "wo": dense(keys[5], (L, Hq, H), Hq, int4_ok=True),
+            "gate": dense(keys[6], (L, H, I), H, int4_ok=True),
+            "up": dense(keys[7], (L, H, I), H, int4_ok=True),
+            "down": dense(keys[8], (L, I, H), I, int4_ok=True),
         },
     }
     if cfg.attention_bias:
@@ -689,9 +708,9 @@ def model_forward(
     # reads weights through a dynamic-slice, which blocks that). bf16 decode
     # and prefill keep the rolled scan — measured faster there, and
     # compilation is 24x cheaper.
-    from hydragen_tpu.ops.quant import QuantizedTensor
+    from hydragen_tpu.ops.quant import is_quantized_weight
 
-    quantized = isinstance(lp["wq"], QuantizedTensor)
+    quantized = is_quantized_weight(lp["wq"])
     unroll = cfg.num_hidden_layers if (t == 1 and quantized) else 1
     h, (new_k, new_v) = jax.lax.scan(layer, h, xs, unroll=unroll)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)

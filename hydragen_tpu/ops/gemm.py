@@ -144,3 +144,154 @@ def w8a8_reference(a_q, a_scale, w_q, w_scale, out_dtype=jnp.bfloat16):
         acc * a_scale.astype(jnp.float32)
         * w_scale.astype(jnp.float32)[None, :]
     ).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# W4A8: INT4 planar-packed weights, s8 activations
+# ---------------------------------------------------------------------------
+#
+# The packed byte j of a row holds in-feature j (low nibble) and in-feature
+# j + K/2 (high nibble) — ops/quant.py pack4. A K-block of bkp packed bytes
+# therefore covers TWO contiguous K-ranges: [j0, j0+bkp) from the low plane
+# and [K/2+j0, K/2+j0+bkp) from the high plane; the kernel takes the two
+# matching activation blocks via two index maps on the same array and never
+# interleaves lanes. Group scales (ops/quant.py Quantized4Tensor) live on
+# the contracted axis, so they cannot commute to the output: the kernel
+# runs one s8 MXU sub-dot per (plane, group) and scales each partial into
+# an f32 accumulator. Weight HBM traffic is half of w8a8's at the same s8
+# FLOP rate — at decode the projections are weight-bandwidth-dominated, so
+# this targets the post-W8A8 binding roofline term (docs/results_v5e.md).
+
+
+def _w4a8_kernel(
+    a_lo_ref,    # [block_m, block_kp] s8 — activations, low-plane K range
+    a_hi_ref,    # [block_m, block_kp] s8 — activations, high-plane K range
+    wp_ref,      # [block_n, block_kp] s8 — packed nibbles
+    rs_ref,      # [block_m, 1] f32 row scales
+    gs_ref,      # [G, block_n] f32 — ALL groups' scales for this N block
+    o_ref,       # [block_m, block_n] out dtype
+    acc_scr,     # [block_m, block_n] f32
+    *,
+    num_k_blocks: int,
+    group: int,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    w32 = wp_ref[...].astype(jnp.int32)
+    planes = (
+        (a_lo_ref, 0, ((w32 << 28) >> 28).astype(jnp.int8)),
+        (a_hi_ref, gs_ref.shape[0] // 2, (w32 >> 4).astype(jnp.int8)),
+    )
+    bkp = wp_ref.shape[1]
+    gpb = bkp // group
+    for a_ref, plane_group0, w in planes:
+        for g in range(gpb):
+            part = jax.lax.dot_general(
+                a_ref[:, g * group:(g + 1) * group],
+                w[:, g * group:(g + 1) * group],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            # This sub-dot's group scale: one [1, block_n] row of the full
+            # scale block, dynamically indexed on the SUBLANE axis (scales
+            # are stored [groups, out] precisely so the lane-axis broadcast
+            # below needs no sublane->lane relayout; a per-K-block scale
+            # BlockSpec would violate Mosaic's 8-sublane block minimum).
+            row = plane_group0 + ki * gpb + g
+            gs_row = gs_ref[pl.dslice(row, 1), :]
+            acc_scr[...] += part.astype(jnp.float32) * gs_row
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _emit():
+        o_ref[...] = (acc_scr[...] * rs_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_kp", "out_dtype",
+                     "interpret"),
+)
+def w4a8_matmul(
+    a_q: jax.Array,       # [M, K] s8 activations (quantize_rows)
+    a_scale: jax.Array,   # [M, 1] f32
+    w_qp: jax.Array,      # [N, K//2] s8 planar-packed int4 (quant.pack4)
+    w_gscale: jax.Array,  # [G, N] group scales (any float dtype)
+    *,
+    block_m: int | None = None,
+    block_n: int = 512,
+    block_kp: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+):
+    """``a @ unpack(w)^T`` with int4 weights unpacked in-register onto the
+    MXU's native s8 path; (group x out-channel) dequant fused per sub-dot,
+    per-row activation scale fused into the emit. Returns ``[M, N]``."""
+    M, K = a_q.shape
+    N, Kp = w_qp.shape
+    assert K == 2 * Kp, (a_q.shape, w_qp.shape)
+    assert a_q.dtype == jnp.int8 and w_qp.dtype == jnp.int8
+    G, N2 = w_gscale.shape
+    assert N2 == N and K % G == 0, (w_gscale.shape, K, N)
+    group = K // G
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if block_m is None:
+        block_m = min(256, _round_up(M, 8))
+    block_n = min(block_n, _round_up(N, LANES))
+    block_kp = min(block_kp, _round_up(Kp, LANES))
+    Mp = _round_up(M, block_m)
+    assert N % block_n == 0 and Kp % block_kp == 0, (
+        f"N={N} Kp={Kp} must tile by ({block_n}, {block_kp})"
+    )
+    assert block_kp % group == 0 and group % LANES == 0, (
+        f"group {group} must divide block_kp {block_kp} and tile lanes"
+    )
+
+    ap = jnp.pad(a_q, ((0, Mp - M), (0, 0)))
+    rs = jnp.pad(a_scale.astype(jnp.float32), ((0, Mp - M), (0, 0)))
+    gs = w_gscale.astype(jnp.float32)
+
+    kb = Kp // block_kp           # packed K blocks == grid dim 2
+    grid = (Mp // block_m, N // block_n, kb)
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel, num_k_blocks=kb, group=group),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_kp), lambda mi, ni, ki: (mi, ki)),
+            pl.BlockSpec(
+                (block_m, block_kp), lambda mi, ni, ki: (mi, kb + ki)
+            ),
+            pl.BlockSpec((block_n, block_kp), lambda mi, ni, ki: (ni, ki)),
+            pl.BlockSpec((block_m, 1), lambda mi, ni, ki: (mi, 0)),
+            # ALL groups' scales for this N block (G x block_n f32 is tiny;
+            # the index map is ki-independent so the DMA happens once per
+            # (mi, ni)); the kernel picks each sub-dot's row dynamically.
+            pl.BlockSpec((G, block_n), lambda mi, ni, ki: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda mi, ni, ki: (mi, ni)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(ap, ap, w_qp, rs, gs)
+    return out[:M]
+
+
+def w4a8_reference(a_q, a_scale, w_qp, w_gscale, out_dtype=jnp.bfloat16):
+    """f32 oracle: dequantize the int4 weight group-wise, f32 matmul."""
+    from hydragen_tpu.ops.quant import unpack4
+
+    lo, hi = unpack4(w_qp)
+    w = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)  # [N, K]
+    N, K = w.shape
+    G = w_gscale.shape[0]
+    w = w.reshape(N, G, K // G) * w_gscale.astype(jnp.float32).T[:, :, None]
+    acc = jnp.einsum("mk,nk->mn", a_q.astype(jnp.float32), w.reshape(N, K))
+    return (acc * a_scale.astype(jnp.float32)).astype(out_dtype)

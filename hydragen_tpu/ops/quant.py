@@ -18,6 +18,7 @@ and the fp32 scale is one multiply on the small output.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -73,6 +74,107 @@ def dequantize(t: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     return (q.astype(jnp.float32) * t.scale[..., None, :]).astype(dtype)
 
 
+class Quantized4Tensor(NamedTuple):
+    """INT4 payload (two nibbles per int8 byte) + per-(group, out) scales.
+
+    qp: ``[..., out, in//2]`` int8 — PLANAR nibble packing of the int4
+    weight stored ``[out, in]``-transposed like :class:`QuantizedTensor`:
+    byte ``j`` holds in-feature ``j`` in its LOW nibble and in-feature
+    ``j + in//2`` in its HIGH nibble. The planar split (halves of K, not
+    even/odd interleave) means unpacking never has to interleave lanes —
+    each nibble plane is a contiguous K-range that dots against the
+    matching contiguous slice of the activations (ops/gemm.py w4a8 kernel).
+    gscale: ``[..., groups, out]`` bfloat16 — symmetric scale per
+    (K-group, out-channel); ``group = in // groups`` is derivable, always
+    divides ``in//2`` (each group lies entirely inside one nibble plane).
+    Group-wise (not per-channel) scales are what make 4-bit usable: one
+    outlier in a K-row no longer stretches the 15-step grid across the
+    whole channel. Stored ``[groups, out]`` (not ``[out, groups]``) so a
+    kernel block's per-group scale row broadcasts along lanes without a
+    sublane->lane relayout (Mosaic cannot reshape sublanes to lanes).
+
+    Beyond-reference: the reference's int4 exists only for the KV cache
+    (xformers_stuff.py:431-530, fp16 scale+shift row headers); int4
+    *weights* halve weight HBM traffic vs int8 — the binding term of the
+    decode roofline once the W8A8 MXU path lifts the matmul floor
+    (docs/results_v5e.md roofline).
+    """
+
+    qp: jax.Array
+    gscale: jax.Array
+
+    @property
+    def dtype(self):
+        return self.qp.dtype
+
+    @property
+    def in_features(self) -> int:
+        return self.qp.shape[-1] * 2
+
+    @property
+    def group_size(self) -> int:
+        return self.in_features // self.gscale.shape[-2]
+
+
+def pick_group4(in_features: int, group: int = 128) -> int:
+    """Largest group size <= ``group`` that divides the nibble-plane width
+    ``in//2`` (so groups never straddle the planar pack boundary)."""
+    assert in_features % 2 == 0, f"odd in_features {in_features}"
+    half = in_features // 2
+    return math.gcd(half, min(group, half))
+
+
+def pack4(q4: jax.Array) -> jax.Array:
+    """int4 values in an int8 array ``[..., in]`` (range [-8, 7]) ->
+    planar-packed ``[..., in//2]`` int8."""
+    half = q4.shape[-1] // 2
+    lo = q4[..., :half].astype(jnp.int32)
+    hi = q4[..., half:].astype(jnp.int32)
+    return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+
+
+def unpack4(qp: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Packed int8 ``[..., in//2]`` -> (low, high) int8 nibble planes,
+    sign-extended. Shift arithmetic runs in int32 (int8 shift overflow is
+    implementation-defined; i32 is also what Mosaic vectorizes)."""
+    q32 = qp.astype(jnp.int32)
+    lo = ((q32 << 28) >> 28).astype(jnp.int8)
+    hi = (q32 >> 4).astype(jnp.int8)  # byte sign extension == nibble sign
+    return lo, hi
+
+
+def quantize4(w: jax.Array, group: int = 128) -> Quantized4Tensor:
+    """Symmetric int4 group-wise quantization over in_features (axis -2).
+
+    w: ``[..., in, out]`` float. Scales are bf16-rounded FIRST and the
+    payload quantized against them (same no-extra-error discipline as
+    :func:`quantize`). Range [-7, 7]: symmetric, zero exactly encodable.
+    """
+    *lead, K, N = w.shape
+    g = pick_group4(K, group)
+    G = K // g
+    wf = w.astype(jnp.float32).reshape(*lead, G, g, N)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    gscale = (jnp.maximum(amax, 1e-8) / 7.0).astype(jnp.bfloat16)
+    q = jnp.clip(jnp.round(wf / gscale.astype(jnp.float32)), -7, 7)
+    q = q.astype(jnp.int8).reshape(*lead, K, N)
+    return Quantized4Tensor(
+        qp=pack4(jnp.swapaxes(q, -1, -2)),
+        gscale=jnp.squeeze(gscale, -2),
+    )
+
+
+def dequantize4(t: Quantized4Tensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Back to the logical ``[..., in, out]`` layout."""
+    lo, hi = unpack4(t.qp)
+    q = jnp.swapaxes(jnp.concatenate([lo, hi], axis=-1), -1, -2)
+    *lead, K, N = q.shape
+    G = t.gscale.shape[-2]
+    wf = q.astype(jnp.float32).reshape(*lead, G, K // G, N)
+    wf = wf * t.gscale.astype(jnp.float32)[..., :, None, :]
+    return wf.reshape(*lead, K, N).astype(dtype)
+
+
 def _swap_weight_term(subscripts: str) -> str:
     """'bth,hd->btd' -> 'bth,dh->btd' (weight operand axes reversed)."""
     ins, out = subscripts.split("->")
@@ -88,6 +190,22 @@ def _w8a8_blocks(N: int, K: int):
     bn = next(b for b in (512, 256, 128) if N % b == 0)
     bk = next(b for b in (1024, 512, 256, 128) if K % b == 0)
     return bn, bk
+
+
+def _w4a8_blocks(N: int, K: int, group: int):
+    """(block_n, block_kp) for the w4a8 kernel, or None if ineligible.
+
+    block_kp tiles the PACKED dim ``K//2`` in 128-lane multiples and must be
+    a multiple of the scale group (the kernel applies group scales on whole
+    sub-dots)."""
+    if N % 128 or K % 256 or group % 128:
+        return None
+    kp = K // 2
+    bn = next(b for b in (512, 256, 128) if N % b == 0)
+    bkp = next(
+        (b for b in (512, 256, 128) if kp % b == 0 and b % group == 0), None
+    )
+    return None if bkp is None else (bn, bkp)
 
 
 def qmatmul(x: jax.Array, w, subscripts: str, impl: str = "dq") -> jax.Array:
@@ -106,7 +224,39 @@ def qmatmul(x: jax.Array, w, subscripts: str, impl: str = "dq") -> jax.Array:
     dims on a TPU backend (every qmatmul subscript in the model contracts
     x's last axis against the stored payload's ``in`` axis); anything else
     falls back to "dq".
+
+    impl="w4a8": same per-row activation quantization against an INT4
+    planar-packed weight (``Quantized4Tensor``) — the kernel unpacks
+    nibbles in-register and runs two s8 MXU dots per K-block, halving
+    weight HBM traffic on top of the s8 FLOP rate. Ineligible shapes (and
+    any Quantized4Tensor under impl="dq", e.g. sharded runs — GSPMD cannot
+    partition a pallas_call) dequantize group-wise and run the bf16 MXU.
     """
+    if isinstance(w, Quantized4Tensor):
+        if impl == "w4a8" and w.qp.ndim == 2:
+            N, Kp = w.qp.shape
+            K = 2 * Kp
+            blocks = _w4a8_blocks(N, K, w.group_size)
+            interpret = None
+            if jax.default_backend() != "tpu":
+                import os
+
+                interpret = bool(os.environ.get("HYDRAGEN_W8A8_INTERPRET"))
+            if blocks is not None and x.shape[-1] == K and interpret is not False:
+                from hydragen_tpu.ops.gemm import quantize_rows, w4a8_matmul
+
+                lead = x.shape[:-1]
+                a_q, a_s = quantize_rows(x.reshape(-1, K))
+                y = w4a8_matmul(
+                    a_q, a_s, w.qp, w.gscale, block_n=blocks[0],
+                    block_kp=blocks[1], out_dtype=x.dtype,
+                    interpret=interpret,
+                )
+                return y.reshape(*lead, N)
+        # Group scales do not commute with the contraction (groups live on
+        # the contracted K axis), so the dq path dequantizes the weight
+        # tile-by-tile inside the dot fusion instead of scaling the output.
+        return jnp.einsum(subscripts, x, dequantize4(w, x.dtype))
     if isinstance(w, QuantizedTensor):
         if impl == "w8a8" and w.q.ndim == 2:
             N, K = w.q.shape
@@ -163,21 +313,39 @@ def dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Arr
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
 
 
-def quantize_params(params: dict, quantize_lm_head: bool = True) -> dict:
+def quantize_params(
+    params: dict, quantize_lm_head: bool = True, bits: int = 8
+) -> dict:
     """Quantize the large projection matrices of a Llama param pytree.
 
     Embeddings stay high-precision (gather, not matmul); norms and biases are
     tiny. Per-layer matrices are stacked ``[L, in, out]`` — quantized with
-    per-(layer, out-channel) scales. Each tensor is quantized under jit so
+    per-(layer, out-channel) scales (``bits=8``) or per-(layer, K-group,
+    out-channel) scales (``bits=4``). Each tensor is quantized under jit so
     the fp32 intermediates fuse away instead of materializing in HBM — a 7B
     model must quantize within a 16 GB chip's headroom.
+
+    ``bits=4`` keeps the lm_head at INT8: logits feed sampling directly and
+    the head is the quality-critical matmul (same reasoning that pins it to
+    the weight-only path under w8a8, core/engine.py).
     """
+    assert bits in (8, 4), bits
     quantize_jit = jax.jit(quantize, static_argnames=("axis",))
+    quantize4_jit = jax.jit(quantize4, static_argnames=("group",))
+    qfn = quantize4_jit if bits == 4 else (
+        lambda w: quantize_jit(w, axis=-2)
+    )
     out = dict(params)
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
-        layers[k] = quantize_jit(layers[k], axis=-2)
+        layers[k] = qfn(layers[k])
     out["layers"] = layers
     if quantize_lm_head:
         out["lm_head"] = quantize_jit(params["lm_head"], axis=-2)
     return out
+
+
+def is_quantized_weight(x) -> bool:
+    """INT8 or INT4 weight node (the decode-unroll / prefetch gates key on
+    'weights are integer payloads', not on the specific bit width)."""
+    return isinstance(x, (QuantizedTensor, Quantized4Tensor))

@@ -132,9 +132,13 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh):
 
     Handles INT8-quantized weights (``QuantizedTensor``): the payload takes
     the weight's spec; the per-output-channel scale takes the same spec with
-    the contracted (in-features, axis -2) dimension dropped.
+    the contracted (in-features, axis -2) dimension dropped. INT4 weights
+    (``Quantized4Tensor``): the packed payload takes the swapped spec (its
+    packed in-axis halves both nibble planes, which GSPMD partitions
+    correctly — the dq path operates on logical arrays); the [groups, out]
+    scale keeps the logical axis order.
     """
-    from hydragen_tpu.ops.quant import QuantizedTensor
+    from hydragen_tpu.ops.quant import Quantized4Tensor, QuantizedTensor
 
     specs = param_pspecs(cfg, mesh)
 
@@ -149,10 +153,24 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh):
                 q=jax.device_put(x.q, NamedSharding(mesh, q_spec)),
                 scale=jax.device_put(x.scale, NamedSharding(mesh, scale_spec)),
             )
+        if isinstance(x, Quantized4Tensor):
+            st = tuple(s) + (None,) * (x.qp.ndim - len(tuple(s)))
+            qp_spec = P(*(st[:-2] + (st[-1], st[-2])))
+            # gscale [.., groups(K), out]: groups shard with the in-features
+            # axis only if the per-device group count stays whole.
+            axis = st[-2]
+            nshard = 1 if axis is None else mesh.shape[axis]
+            g_in = st[-2] if x.gscale.shape[-2] % max(nshard, 1) == 0 else None
+            gs_spec = P(*(st[:-2] + (g_in, st[-1])))
+            return Quantized4Tensor(
+                qp=jax.device_put(x.qp, NamedSharding(mesh, qp_spec)),
+                gscale=jax.device_put(x.gscale, NamedSharding(mesh, gs_spec)),
+            )
         return jax.device_put(x, NamedSharding(mesh, s))
 
     return jax.tree.map(
-        place, params, specs, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+        place, params, specs,
+        is_leaf=lambda x: isinstance(x, (QuantizedTensor, Quantized4Tensor)),
     )
 
 

@@ -70,7 +70,7 @@ def main():
     p.add_argument("--num-questions", default="2:64:x2")
     p.add_argument("--max-new-tokens", type=int, default=12)
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--quantization", default=None, choices=[None, "int8", "w8a8"])
+    p.add_argument("--quantization", default=None, choices=[None, "int8", "w8a8", "int4", "w4a8"])
     p.add_argument("--kv-quant", default=None, choices=[None, "int8"])
     p.add_argument("--corpus", default=None, help="filler text file")
     p.add_argument("--tp", type=int, default=1)
@@ -101,7 +101,7 @@ def main():
         engine = HydragenLlama(
             cfg,
             init_params(cfg, jax.random.PRNGKey(0),
-                        quantized=args.quantization in ("int8", "w8a8")),
+                        quantized=args.quantization or False),
             quantization=args.quantization,
         )
         # ~4 chars/token synthetic tokenization for speed-only runs.

@@ -48,7 +48,7 @@ def main():
     quant = None if args.quant in ("", "none") else args.quant
     kv_quant = None if args.kv in ("", "none") else args.kv
     params = init_params(cfg, jax.random.PRNGKey(0),
-                     quantized=quant in ("int8", "w8a8"))
+                     quantized=quant or False)
     engine = HydragenLlama(cfg, params, quantization=quant)
 
     rng = np.random.RandomState(0)

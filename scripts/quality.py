@@ -130,15 +130,22 @@ def run(preset: str, tokens: int, batch: int, seed: int = 0,
 
     hi = HydragenLlama(cfg, params)
     logits_hi = eval_logits(hi, ids)
-    quantizer = (
-        quantize_params if scheme == "per_channel" else quantize_params_per_tensor
-    )
+    if quantization in ("int4", "w4a8"):
+        # INT4 is group-wise by construction (ops/quant.py quantize4); the
+        # per-tensor adversarial baseline is an int8-only experiment.
+        assert scheme == "per_channel", "int4 gate runs the shipped scheme only"
+        quantizer = lambda p: quantize_params(p, bits=4)  # noqa: E731
+    else:
+        quantizer = (
+            quantize_params if scheme == "per_channel"
+            else quantize_params_per_tensor
+        )
     # "w8a8" additionally quantizes activations per row at runtime
     # (ops/gemm.py); the same gate bounds its extra noise. On a non-TPU
     # backend the w8a8 path needs interpret-mode pallas (ops/quant.py falls
     # back to weight-only dq otherwise, which would make this gate vacuous)
     # -- force it rather than silently measuring the wrong thing.
-    if quantization == "w8a8" and jax.default_backend() != "tpu":
+    if quantization in ("w8a8", "w4a8") and jax.default_backend() != "tpu":
         import os
 
         os.environ["HYDRAGEN_W8A8_INTERPRET"] = "1"
@@ -177,9 +184,11 @@ def main():
     ap.add_argument("--scheme", default="per_channel",
                     choices=["per_channel", "per_tensor"])
     ap.add_argument("--quantization", default="int8",
-                    choices=["int8", "w8a8"],
+                    choices=["int8", "w8a8", "int4", "w4a8"],
                     help="w8a8 = weight int8 + per-row dynamic activation "
-                    "int8 (native s8 MXU matmuls)")
+                    "int8 (native s8 MXU matmuls); int4 = group-wise "
+                    "4-bit weights (bf16 MXU); w4a8 = int4 weights on "
+                    "the s8 MXU path")
     args = ap.parse_args()
     print(json.dumps(run(args.preset, args.tokens, args.batch, args.seed,
                          outliers=args.outliers, scheme=args.scheme,

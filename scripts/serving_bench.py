@@ -41,7 +41,7 @@ def build_requests(rng, n, prompt_len, budget_lo, budget_hi, vocab):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="sheared-llama-1.3b")
-    ap.add_argument("--quantization", default="int8", choices=["int8", "w8a8", "none"])
+    ap.add_argument("--quantization", default="int8", choices=["int8", "w8a8", "int4", "w4a8", "none"])
     ap.add_argument("--kv-quant", default=None, choices=[None, "int8"])
     ap.add_argument("--requests", type=int, default=96)
     ap.add_argument("--pool", type=int, default=32)
@@ -59,7 +59,7 @@ def main():
 
     cfg = PRESETS[args.preset]
     quant = None if args.quantization == "none" else args.quantization
-    params = init_params(cfg, jax.random.PRNGKey(0), quantized=quant in ("int8", "w8a8"))
+    params = init_params(cfg, jax.random.PRNGKey(0), quantized=quant or False)
     rng = np.random.RandomState(args.seed)
     prefix = rng.randint(1, cfg.vocab_size, size=(1, args.shared)).astype(np.int32)
     lo, hi = (int(x) for x in args.budget.split(":"))

@@ -39,7 +39,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=256)
     ap.add_argument("--iters", type=int, default=400)
-    ap.add_argument("--which", default="bf16,dq,w8a8")
+    ap.add_argument("--which", default="bf16,dq,w8a8,w4a8,dq4")
     ap.add_argument("--shapes", default=",".join(SHAPES))
     ap.add_argument("--block-n", type=int, default=512)
     ap.add_argument("--block-k", type=int, default=1024)
@@ -91,6 +91,46 @@ def main():
             t = timed_scanned(run_w8a8, (x,), num_iters=args.iters)
             print(f"  w8a8 : {t*1e6:9.1f} us  ({flops/t/1e12:6.1f} TOP/s "
                   "incl. row quantize)")
+
+        if ("w4a8" in which or "dq4" in which) and K % 256 == 0:
+            from hydragen_tpu.ops.gemm import w4a8_matmul
+            from hydragen_tpu.ops.quant import (
+                Quantized4Tensor, dequantize4, pick_group4,
+            )
+
+            g = pick_group4(K)
+            t4 = Quantized4Tensor(
+                qp=jax.random.randint(ks[3], (Np, K // 2), -128, 128,
+                                      dtype=jnp.int8),
+                gscale=(jax.random.uniform(ks[2], (K // g, Np),
+                                           dtype=jnp.float32) * 0.02
+                        ).astype(jnp.bfloat16),
+            )
+            if "w4a8" in which:
+                bkp = next((b for b in (512, 256, 128)
+                            if (K // 2) % b == 0 and b % g == 0), None)
+                if bkp is None:
+                    print("  w4a8 : skipped (no Mosaic tiling for K)")
+                else:
+                    bn = next(b for b in (args.block_n, 512, 256, 128)
+                              if Np % b == 0)
+
+                    def run_w4a8(x):
+                        a_q, a_s = quantize_rows(x)
+                        return w4a8_matmul(a_q, a_s, t4.qp, t4.gscale,
+                                           block_n=bn, block_kp=bkp)
+                    t = timed_scanned(run_w4a8, (x,), num_iters=args.iters)
+                    print(f"  w4a8 : {t*1e6:9.1f} us  "
+                          f"({flops/t/1e12:6.1f} TOP/s incl. row quantize)")
+            if "dq4" in which:
+                def run_dq4(x):
+                    w = dequantize4(t4)  # [K, Np] bf16
+                    return jnp.einsum("mk,kn->mn", x, w,
+                                      preferred_element_type=jnp.float32
+                                      ).astype(jnp.bfloat16)
+                t = timed_scanned(run_dq4, (x,), num_iters=args.iters)
+                print(f"  dq4  : {t*1e6:9.1f} us  ({flops/t/1e12:6.1f} "
+                      "TFLOP/s, XLA int4 group-dequant)")
 
 
 if __name__ == "__main__":

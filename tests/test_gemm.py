@@ -51,12 +51,31 @@ def test_quantize_rows_roundtrip():
     assert err <= amax / 127.0 + 1e-6
 
 
+def _forced_logits(cfg, params, quantization, prompt, overrides):
+    """Per-step logits along a FORCED token stream: random-init logits are
+    near-uniform, so greedy token agreement between two engines is a coin
+    flip on the first near-tie (the chains then diverge completely) — a
+    flaky assertion. token_overrides pins both engines to one stream; the
+    logits comparison then measures exactly the matmul-path noise."""
+    from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
+
+    eng = HydragenLlama(cfg, params, quantization=quantization)
+    eng.setup_caches(4, 16, [1], [8])
+    _, logits = eng.generate(
+        input_ids=[prompt], num_return_sequences=4,
+        max_new_tokens=overrides.shape[1], temperature=0.0,
+        return_logits=True, token_overrides=overrides,
+        shared_cache_op=SharedCacheOp.WIPE,
+    )
+    return [np.asarray(l) for l in logits]
+
+
 def test_w8a8_engine_e2e(monkeypatch):
     """Engine quantization="w8a8" routes layer matmuls through the Pallas
-    s8 GEMM (interpret mode on CPU via HYDRAGEN_W8A8_INTERPRET) and still
-    greedy-decodes in agreement with the weight-only int8 engine."""
+    s8 GEMM (interpret mode on CPU via HYDRAGEN_W8A8_INTERPRET); its logits
+    along a forced token stream stay within per-row activation-quant noise
+    of the weight-only int8 engine's."""
     monkeypatch.setenv("HYDRAGEN_W8A8_INTERPRET", "1")
-    from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
     from hydragen_tpu.models.config import ModelConfig
     from hydragen_tpu.models.llama import init_params
 
@@ -68,16 +87,116 @@ def test_w8a8_engine_e2e(monkeypatch):
     params = init_params(cfg, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     prompt = rng.randint(1, 256, (1, 6)).astype(np.int32)
+    overrides = rng.randint(1, 256, (4, 5)).astype(np.int32)
 
-    def run(quantization):
-        eng = HydragenLlama(cfg, params, quantization=quantization)
-        eng.setup_caches(4, 16, [1], [8])
-        return np.asarray(eng.generate(
-            input_ids=[prompt], num_return_sequences=4, max_new_tokens=5,
-            temperature=0.0, shared_cache_op=SharedCacheOp.WIPE,
-        ))
+    l_dq = _forced_logits(cfg, params, "int8", prompt, overrides)
+    l_w8 = _forced_logits(cfg, params, "w8a8", prompt, overrides)
+    for a, b in zip(l_dq, l_w8):
+        assert np.abs(a - b).mean() < 0.05 * np.abs(a).mean() + 0.05
 
-    out_dq = run("int8")
-    out_w8a8 = run("w8a8")
-    agree = (out_dq == out_w8a8).mean()
-    assert agree >= 0.8, f"w8a8 tokens diverged from weight-only int8: {agree}"
+
+# ---------------------------------------------------------------------------
+# W4A8 (int4 planar-packed weights)
+# ---------------------------------------------------------------------------
+
+def test_pack4_unpack4_roundtrip():
+    from hydragen_tpu.ops.quant import pack4, unpack4
+
+    rng = np.random.RandomState(2)
+    q4 = jnp.asarray(rng.randint(-8, 8, (3, 64)), jnp.int8)
+    lo, hi = unpack4(pack4(q4))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(q4[:, :32]))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(q4[:, 32:]))
+
+
+def test_quantize4_roundtrip():
+    from hydragen_tpu.ops.quant import dequantize4, quantize4
+
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(512, 384), jnp.float32)
+    t = quantize4(w, group=128)
+    assert t.qp.shape == (384, 256) and t.gscale.shape == (4, 384)
+    assert t.group_size == 128 and t.in_features == 512
+    back = np.asarray(dequantize4(t, jnp.float32))
+    err = np.abs(back - np.asarray(w))
+    # Max error <= half an int4 step of the *group* amax (+ bf16 scale ulp).
+    gamax = np.abs(np.asarray(w)).reshape(4, 128, 384).max(axis=1)
+    bound = np.repeat(gamax, 128, axis=0) / 7.0 * 0.51
+    assert (err <= bound + 1e-6).all(), (err.max(), bound.min())
+
+
+def test_quantize4_outlier_channels_localized():
+    """An outlier K-row only degrades its own group — the point of
+    group-wise over per-channel scales at 4 bits."""
+    from hydragen_tpu.ops.quant import dequantize4, quantize4
+
+    rng = np.random.RandomState(4)
+    w = rng.randn(512, 128).astype(np.float32)
+    w[13, :] *= 50.0  # one outlier in group 0
+    t = quantize4(jnp.asarray(w), group=128)
+    back = np.asarray(dequantize4(t, jnp.float32))
+    err_clean = np.abs(back[128:] - w[128:]).max()
+    amax_clean = np.abs(w[128:]).max()
+    assert err_clean <= amax_clean / 7.0  # unaffected by group 0's outlier
+
+
+@pytest.mark.parametrize(
+    "m,k,n,bm,bn,bkp",
+    [
+        (8, 256, 256, None, 128, 128),    # kb=1, one group per block
+        (12, 512, 384, 8, 128, 128),      # M padding + 2 K-blocks
+        (64, 512, 256, 32, 256, 256),     # 2 groups per block per plane
+    ],
+)
+def test_w4a8_matmul_parity(m, k, n, bm, bn, bkp):
+    from hydragen_tpu.ops.gemm import w4a8_matmul, w4a8_reference
+    from hydragen_tpu.ops.quant import quantize4
+
+    rng = np.random.RandomState(5)
+    a = jnp.asarray(rng.randn(m, k), jnp.float32)
+    w = jnp.asarray(rng.randn(k, n) * 0.05, jnp.float32)  # logical [in, out]
+    t = quantize4(w, group=128)
+
+    a_q, a_s = quantize_rows(a)
+    out = w4a8_matmul(a_q, a_s, t.qp, t.gscale, block_m=bm, block_n=bn,
+                      block_kp=bkp, out_dtype=jnp.float32, interpret=True)
+    ref = w4a8_reference(a_q, a_s, t.qp, t.gscale, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_w4a8_qmatmul_dq_path_matches_dequantized():
+    from hydragen_tpu.ops.quant import dequantize4, qmatmul, quantize4
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 3, 256), jnp.float32)
+    w = jnp.asarray(rng.randn(256, 384), jnp.float32)
+    t = quantize4(w, group=128)
+    got = qmatmul(x, t, "bth,hd->btd", impl="dq")
+    want = jnp.einsum("bth,hd->btd", x, dequantize4(t, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_w4a8_engine_e2e(monkeypatch):
+    """quantization="w4a8" (kernel, via interpret opt-in) stays within
+    activation-quant noise of quantization="int4" (weight-only dq path) on
+    logits along a forced token stream (same weights; only the matmul
+    path differs — see _forced_logits for why tokens are not compared)."""
+    monkeypatch.setenv("HYDRAGEN_W8A8_INTERPRET", "1")
+    from hydragen_tpu.models.config import ModelConfig
+    from hydragen_tpu.models.llama import init_params
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32",
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, 256, (1, 6)).astype(np.int32)
+    overrides = rng.randint(1, 256, (4, 5)).astype(np.int32)
+
+    l_int4 = _forced_logits(cfg, params, "int4", prompt, overrides)
+    l_w4a8 = _forced_logits(cfg, params, "w4a8", prompt, overrides)
+    for a, b in zip(l_int4, l_w4a8):
+        assert np.abs(a - b).mean() < 0.05 * np.abs(a).mean() + 0.05

@@ -112,3 +112,17 @@ def test_fused_cached_lowers():
         ),
         jnp.int32(0), q, sk, sk, slens, uk, uk, ulens,
     )
+
+
+def test_w4a8_gemm_lowers():
+    from hydragen_tpu.ops.gemm import w4a8_matmul
+
+    aq = jnp.zeros((256, 1024), jnp.int8)
+    asc = jnp.zeros((256, 1), jnp.float32)
+    wqp = jnp.zeros((512, 512), jnp.int8)      # packed: K=1024 -> Kp=512
+    gs = jnp.zeros((8, 512), jnp.bfloat16)     # group=128 -> G=8
+    _lower(
+        lambda a, s, w, g: w4a8_matmul(a, s, w, g, block_n=256,
+                                       block_kp=256, interpret=False),
+        aq, asc, wqp, gs,
+    )

@@ -135,3 +135,46 @@ def test_quantized_params_sharding():
     assert {s.data.shape for s in wq.scale.addressable_shards} == {
         (cfg.num_hidden_layers, hq // 4)
     }
+
+
+def test_quantized4_params_sharding_and_tp_parity():
+    """INT4 params place on a tp mesh (payload out-sharded; group scales
+    replicated or in-sharded per divisibility) and the sharded engine's
+    greedy tokens match unsharded (the mesh path runs the dq unpack —
+    GSPMD partitions the logical arrays, ops/quant.py qmatmul)."""
+    from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
+    from hydragen_tpu.ops.quant import Quantized4Tensor
+    from hydragen_tpu.parallel import make_mesh, shard_params
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        dtype="float32",
+    )
+    qp = quantize_params(init_params(cfg, jax.random.PRNGKey(0)), bits=4)
+    mesh = make_mesh(tp=4)
+    sp = shard_params(qp, cfg, mesh)
+    wq = sp["layers"]["wq"]
+    assert isinstance(wq, Quantized4Tensor)
+    hq = cfg.num_attention_heads * cfg.head_dim
+    # Packed payload stored [L, out, in//2]; out-features sharded over tp.
+    assert {s.data.shape for s in wq.qp.addressable_shards} == {
+        (cfg.num_hidden_layers, hq // 4, cfg.hidden_size // 2)
+    }
+
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, 128, (1, 6)).astype(np.int32)
+
+    def run(mesh):
+        eng = HydragenLlama(cfg, qp, mesh=mesh)
+        eng.setup_caches(4, 16, [1], [8])
+        return np.asarray(eng.generate(
+            input_ids=[prompt], num_return_sequences=4, max_new_tokens=4,
+            temperature=0.0, shared_cache_op=SharedCacheOp.WIPE,
+        ))
+
+    ref = run(None)
+    out = run(mesh)
+    assert (out == ref).all(), f"int4 tp diverged: {out} vs {ref}"
