@@ -15,9 +15,17 @@ if not os.environ.get("HYDRAGEN_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # XLA:CPU collectives hard-abort (SIGABRT) any program whose slowest
+    # participant reaches the rendezvous more than 40 s after the first.
+    # With the 8 virtual devices time-slicing few hardware cores, big-dim
+    # tests (34B/70B geometry at fp32) stagger past that on small CI hosts
+    # — raise the termination timeout; correctness is unaffected. (The
+    # heavy-geometry mesh tests additionally skip on 1-core hosts, where
+    # the stagger exceeds any sane timeout — see needs_cores.)
+    if "xla_cpu_collective_timeout_seconds" not in flags:
+        flags += " --xla_cpu_collective_timeout_seconds=1200"
+    os.environ["XLA_FLAGS"] = flags
 
     # The environment's sitecustomize registers a remote-TPU ("axon") PJRT
     # plugin and programmatically sets jax_platforms="axon,cpu", which beats
@@ -25,3 +33,17 @@ if not os.environ.get("HYDRAGEN_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def needs_cores(n: int, what: str = "heavy-geometry mesh collectives"):
+    """skipif marker for tests whose 8-virtual-device programs are too heavy
+    for very small hosts: with fewer hardware cores than ``n``, the devices'
+    time-sliced compute staggers XLA:CPU collective rendezvous beyond any
+    sane timeout and the runtime SIGABRTs (not a correctness failure)."""
+    import pytest
+
+    return pytest.mark.skipif(
+        (os.cpu_count() or 1) < n,
+        reason=f"{what}: needs >= {n} hardware cores "
+        f"(have {os.cpu_count()}); XLA:CPU rendezvous would stagger-abort",
+    )

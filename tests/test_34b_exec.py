@@ -78,6 +78,10 @@ def _ref():
     return tuple(map(tuple, out))
 
 
+from tests.conftest import needs_cores
+
+
+@needs_cores(2)
 @pytest.mark.parametrize("tp", [4, 8])
 def test_34b_geometry_generate_tp_parity(tp):
     out = _run(make_mesh(tp=tp, dp=8 // tp))
