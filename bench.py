@@ -38,24 +38,8 @@ import numpy as np
 from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
 from hydragen_tpu.models.config import PRESETS, ModelConfig
 from hydragen_tpu.models.llama import init_params
+from hydragen_tpu.utils.capacity import HBM_BYTES, param_bytes
 from hydragen_tpu.utils.timing import timed
-
-HBM_BYTES = 15.2e9  # v5e: 16 GB minus runtime/program/activation headroom
-
-
-def param_bytes(cfg: ModelConfig, quant) -> int:
-    per_layer = (
-        4 * cfg.hidden_size * cfg.hidden_size
-        + 3 * cfg.hidden_size * cfg.intermediate_size
-    )
-    body = per_layer * cfg.num_hidden_layers
-    head = cfg.hidden_size * cfg.vocab_size
-    embed = cfg.vocab_size * cfg.hidden_size * 2  # bf16 (gather table)
-    if quant in ("int4", "w4a8"):
-        # nibble-packed payload + bf16 group scales (1/128); lm_head INT8.
-        return int(body * (0.5 + 2 / 128)) + head + embed
-    w = 1 if quant else 2
-    return (body + head) * w + embed
 
 
 def cache_bytes(cfg: ModelConfig, bs: int, unique_len: int, shared_len: int,

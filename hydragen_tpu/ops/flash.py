@@ -460,10 +460,7 @@ def flash_attention_bhsd(
         R = next((r for r in (16, 8, 4, 2, 1) if B % r == 0), 1)
         if R > 1:
             mp_dec = _round_up(M, 8)
-            bk_dec = block_k if block_k is not None else (
-                _env_block("HYDRAGEN_FLASH_BLOCK_K")
-                or min(512, max(LANES, _round_up(min(s, 512), LANES)))
-            )
+            bk_dec = block_k  # always defaulted above (env override incl.)
             return _flash_decode_call(
                 qf, k, v, lens, hkv=hkv, group=group, m=m, mp=mp_dec,
                 rows=R, block_k=bk_dec, dp=dp, d=d, scale=scale,

@@ -254,8 +254,31 @@ def qmatmul(x: jax.Array, w, subscripts: str, impl: str = "dq") -> jax.Array:
                 )
                 return y.reshape(*lead, N)
         # Group scales do not commute with the contraction (groups live on
-        # the contracted K axis), so the dq path dequantizes the weight
-        # tile-by-tile inside the dot fusion instead of scaling the output.
+        # the contracted K axis), so the dq path must dequantize the weight
+        # before the dot. Done per nibble PLANE as two einsums over
+        # contiguous activation halves: the unpack+scale chain is then pure
+        # elementwise into each dot operand (no concat on the contracted
+        # axis, which XLA will not fuse through), keeping the bf16 weight
+        # transient to at most one plane per projection. XLA may still
+        # materialize the planes in HBM rather than fusing into the dot —
+        # unverified on hardware; scripts/ubench_gemm.py's dq4 row measures
+        # exactly this path.
+        if w.qp.ndim == 2:
+            N, Kp = w.qp.shape
+            G, g = w.gscale.shape[-2], w.group_size
+            lo, hi = unpack4(w.qp)
+            swapped = _swap_weight_term(subscripts)
+
+            def plane(p, g0):
+                gs = w.gscale[g0:g0 + G // 2].astype(jnp.float32)  # [G/2, N]
+                wf = p.astype(jnp.float32).reshape(N, G // 2, g)
+                wf = wf * jnp.swapaxes(gs, 0, 1)[:, :, None]
+                return wf.reshape(N, Kp).astype(x.dtype)
+
+            return (
+                jnp.einsum(swapped, x[..., :Kp], plane(lo, 0))
+                + jnp.einsum(swapped, x[..., Kp:], plane(hi, G // 2))
+            )
         return jnp.einsum(subscripts, x, dequantize4(w, x.dtype))
     if isinstance(w, QuantizedTensor):
         if impl == "w8a8" and w.q.ndim == 2:

@@ -153,7 +153,34 @@ def run(preset: str, tokens: int, batch: int, seed: int = 0,
     logits_lo = eval_logits(lo, ids)
 
     ce_hi, ce_lo, kl = quality_metrics(logits_hi, logits_lo, ids)
+    extra = {}
+    if quantization in ("w8a8", "w4a8"):
+        # Which projection families actually run the s8 kernel at this
+        # preset's dims? Ineligible ones fall back to the weight-only dq
+        # path (ops/quant.py qmatmul), whose activation noise is ZERO —
+        # silently excluding a family would make the gate measure less
+        # than deployment does (e.g. 1.3B's down proj: K=5504 forces
+        # group 64, below the kernel's 128-lane group tile; at the 7B
+        # target every family is eligible).
+        from hydragen_tpu.ops.quant import _w4a8_blocks, _w8a8_blocks
+
+        cov = {}
+        for fam in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+            t = lo.params["layers"][fam]
+            if quantization == "w4a8":
+                N, Kp = t.qp.shape[-2], t.qp.shape[-1]
+                cov[fam] = _w4a8_blocks(N, 2 * Kp, t.group_size) is not None
+            else:
+                N, K = t.q.shape[-2], t.q.shape[-1]
+                cov[fam] = _w8a8_blocks(N, K) is not None
+        extra["s8_kernel_coverage"] = cov
+        missing = sorted(f for f, ok in cov.items() if not ok)
+        if missing:
+            print(f"WARNING: {quantization} kernel ineligible for "
+                  f"{missing} at these dims — those families run the "
+                  f"noise-free dq path; the gate under-measures them.")
     return {
+        **extra,
         "preset": preset if isinstance(preset, str) else "custom",
         "scheme": scheme,
         "quantization": quantization,

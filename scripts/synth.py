@@ -28,22 +28,23 @@ from hydragen_tpu.utils import (
 
 MODES = ("hydragen", "hydragen_noshared", "noattention", "hydragen_nohierarchy")
 
-HBM_BYTES = 15.2e9  # v5e minus runtime/program headroom (bench.py)
 
 
-def fits_hbm(cfg, quantized, kv_int8, bs, ns, nu, mode, levels,
+def fits_hbm(cfg, quant, kv_int8, bs, ns, nu, mode, levels,
              shared_int8=None) -> bool:
     """Pre-flight HBM estimate so paper-shape grids can include points the
     chip cannot host (the reference's noshared mode OOMs the same way at
     paper scale, synth.py:82-115) — they are skipped with a note instead of
-    crashing the sweep. Only binding on the real TPU."""
+    crashing the sweep. Only binding on the real TPU. ``quant`` is the
+    quantization mode string (None/int8/w8a8/int4/w4a8)."""
     import jax
+
+    from hydragen_tpu.utils.capacity import HBM_BYTES, param_bytes
 
     if jax.default_backend() != "tpu":
         return True
-    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
-    body = (4 * H * H + 3 * H * I) * L + H * cfg.vocab_size
-    weights = body * (1 if quantized else 2) + cfg.vocab_size * H * 2
+    L = cfg.num_hidden_layers
+    weights = param_bytes(cfg, quant)
     per_tok = cfg.num_key_value_heads * cfg.head_dim * 2
     itemsize = 1 if kv_int8 else 2
     if shared_int8 is None:
@@ -213,7 +214,7 @@ def main():
             if path.exists():
                 print(f"skip (exists): {path}")
                 continue
-            if not fits_hbm(engine.config, bool(args.quantization),
+            if not fits_hbm(engine.config, args.quantization,
                             args.kv_quant == "int8", bs, ns, nu, mode,
                             args.levels,
                             shared_int8={"follow": args.kv_quant == "int8",

@@ -72,7 +72,12 @@ def main():
 
         if "dq" in which:
             def run_dq(x):
-                w = w8.astype(jnp.bfloat16) * wscale[:, None]
+                # Tie the payload to the perturbed input: the dequant chain
+                # is otherwise loop-invariant inside timed_scanned's scan
+                # and XLA hoists it, under-reporting the path's real cost
+                # (the engine re-reads + converts the payload every step).
+                dep = (x[0, 0] * 0).astype(jnp.int8)
+                w = (w8 + dep).astype(jnp.bfloat16) * wscale[:, None]
                 return jnp.einsum("mk,nk->mn", x, w,
                                   preferred_element_type=jnp.float32
                                   ).astype(jnp.bfloat16)
@@ -124,7 +129,8 @@ def main():
                           f"({flops/t/1e12:6.1f} TOP/s incl. row quantize)")
             if "dq4" in which:
                 def run_dq4(x):
-                    w = dequantize4(t4)  # [K, Np] bf16
+                    dep = (x[0, 0] * 0).astype(jnp.int8)  # defeat hoisting
+                    w = dequantize4(t4._replace(qp=t4.qp + dep))  # [K, Np]
                     return jnp.einsum("mk,kn->mn", x, w,
                                       preferred_element_type=jnp.float32
                                       ).astype(jnp.bfloat16)

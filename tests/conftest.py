@@ -35,15 +35,24 @@ if not os.environ.get("HYDRAGEN_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 
+def usable_cpus() -> int:
+    """CPUs this process may actually run on: cgroup/affinity-limited
+    containers report the HOST count via os.cpu_count()."""
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except AttributeError:  # non-Linux
+        return os.cpu_count() or 1
+
+
 def needs_cores(n: int, what: str = "heavy-geometry mesh collectives"):
     """skipif marker for tests whose 8-virtual-device programs are too heavy
-    for very small hosts: with fewer hardware cores than ``n``, the devices'
+    for very small hosts: with fewer usable cores than ``n``, the devices'
     time-sliced compute staggers XLA:CPU collective rendezvous beyond any
     sane timeout and the runtime SIGABRTs (not a correctness failure)."""
     import pytest
 
     return pytest.mark.skipif(
-        (os.cpu_count() or 1) < n,
-        reason=f"{what}: needs >= {n} hardware cores "
-        f"(have {os.cpu_count()}); XLA:CPU rendezvous would stagger-abort",
+        usable_cpus() < n,
+        reason=f"{what}: needs >= {n} usable cores "
+        f"(have {usable_cpus()}); XLA:CPU rendezvous would stagger-abort",
     )

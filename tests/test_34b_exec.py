@@ -16,7 +16,6 @@ Reference anchor: /root/reference/docs/sweeps_from_paper.md:44-47 (the
 import dataclasses
 import functools
 import gc
-import os
 
 import numpy as np
 import pytest
@@ -88,12 +87,7 @@ def test_34b_geometry_generate_tp_parity(tp):
     assert tuple(map(tuple, out)) == _ref(), f"tp={tp} diverged from unsharded"
 
 
-@pytest.mark.skipif(
-    (os.cpu_count() or 1) < 2,
-    reason="XLA:CPU in-process all-reduce hard-aborts (SIGABRT, 40 s "
-    "rendezvous) when the int8 34B shards' threads stagger on a single "
-    "core; the abort would kill the whole pytest process",
-)
+@needs_cores(2, "int8 34B shard collectives")
 def test_34b_geometry_generate_int8_tp4():
     """INT8 weights + INT8 KV at the 34B dims under tp=4 must execute (the
     kv-head/tp=2-per-shard and 22016/4 divisibility paths) and produce

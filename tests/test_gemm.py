@@ -174,7 +174,11 @@ def test_w4a8_qmatmul_dq_path_matches_dequantized():
     t = quantize4(w, group=128)
     got = qmatmul(x, t, "bth,hd->btd", impl="dq")
     want = jnp.einsum("bth,hd->btd", x, dequantize4(t, jnp.float32))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+    # The dq path sums two per-plane einsums (fusion-friendly split,
+    # ops/quant.py) — f32 accumulation order differs from the single
+    # dequantize4 einsum by ~1e-5 on O(10) values.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_w4a8_engine_e2e(monkeypatch):
