@@ -43,22 +43,26 @@ from hydragen_tpu.utils.timing import timed
 
 
 def cache_bytes(cfg: ModelConfig, bs: int, unique_len: int, shared_len: int,
-                kv_int8: bool, shared_int8: bool | None = None) -> int:
-    """shared_int8: shared-level precision (None = follow kv_int8) — the
+                kv_quant, shared_int8: bool | None = None) -> int:
+    """kv_quant: None/"int8"/"int4" unique-cache precision. shared_int8:
+    shared-level precision (None = follow kv_quant's quantized-ness) — the
     HYDRAGEN_BENCH_SHARED_KV mixed-precision knob must be priced here or the
     HBM-fit assert passes for configs that OOM at setup_caches."""
     if shared_int8 is None:
-        shared_int8 = kv_int8
+        shared_int8 = kv_quant is not None
     per_tok = cfg.num_key_value_heads * cfg.head_dim * 2  # k + v
     L = cfg.num_hidden_layers
 
-    def bytes_for(tokens, int8):
+    def bytes_for(tokens, quant):
         payload = L * tokens * per_tok
-        if int8:
+        if quant == "int4":  # two tokens per byte + f32 per-(token, head)
+            return payload // 2 + L * tokens * cfg.num_key_value_heads * 2 * 4
+        if quant:
             return payload + L * tokens * cfg.num_key_value_heads * 2 * 4
         return payload * 2
 
-    return bytes_for(bs * unique_len, kv_int8) + bytes_for(shared_len, shared_int8)
+    return (bytes_for(bs * unique_len, kv_quant)
+            + bytes_for(shared_len, "int8" if shared_int8 else None))
 
 
 def run_config(engine, prompt, bs, new_tokens, disable_hydragen, iters=3,
@@ -129,7 +133,7 @@ def main():
     # say so in the metric name) rather than dying at the driver's hands.
     req_bs = bs
     while bs > 1 and cache_bytes(cfg, bs, new_tokens, shared_len,
-                                 kv_quant == "int8", shared_int8) >= budget:
+                                 kv_quant, shared_int8) >= budget:
         bs //= 2
     tput = run_config(engine, prompt, bs, new_tokens, disable_hydragen=False,
                       kv_quant=kv_quant, shared_kv_quant=shared_kv)
@@ -140,23 +144,29 @@ def main():
     # jnp.repeat materializes a transient copy of the per-row prefix KV in
     # the cache's storage dtype — budget it too, or the chosen base_bs can
     # still OOM at runtime (ADVICE r2).
+    # int4's token-planar pack cannot host the baseline's copied prefix
+    # (traced-offset nibble writes) — the baseline arm runs int8, the
+    # nearest feasible precision (annotated below).
+    base_kv = "int8" if kv_quant == "int4" else kv_quant
+
     def repeat_transient(b):
         per_tok = cfg.num_key_value_heads * cfg.head_dim * 2
         payload = cfg.num_hidden_layers * b * shared_len * per_tok
-        if kv_quant == "int8":
+        if base_kv == "int8":
             return payload + payload // cfg.head_dim * 4  # + f32 scales
         return payload * 2
 
     base_bs = bs
     while base_bs > 1 and cache_bytes(
-        cfg, base_bs, new_tokens + shared_len + 8, shared_len, kv_quant == "int8",
+        cfg, base_bs, new_tokens + shared_len + 8, shared_len, base_kv,
         shared_int8,
     ) + repeat_transient(base_bs) > budget:
         base_bs //= 2
     # Same shared-KV precision as the hydragen arm: the two arms of the
-    # headline ratio must run the identical configuration.
+    # headline ratio must run the identical configuration (modulo the int4
+    # exception above).
     base = run_config(engine, prompt, base_bs, new_tokens, disable_hydragen=True,
-                      kv_quant=kv_quant, shared_kv_quant=shared_kv)
+                      kv_quant=base_kv, shared_kv_quant=shared_kv)
 
     tag = quant or "bf16"
     if kv_quant:
@@ -176,6 +186,8 @@ def main():
     }
     if bs != req_bs:  # HBM safety net engaged (see the halving loop above)
         result["requested_bs"] = req_bs
+    if kv_quant == "int4":
+        result["baseline_kv"] = "int8"
     print(json.dumps(result))
 
 

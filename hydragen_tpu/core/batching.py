@@ -305,6 +305,11 @@ class ContinuousBatcher:
         seed: int = 0,
     ):
         assert engine.cache is not None, "call setup_caches first"
+        assert engine.cache.unique_bits == 8, (
+            "ContinuousBatcher needs kv_quant in (None, 'int8'): the ring "
+            "pool's wrapped windows and per-row admissions would need "
+            "sub-byte scatters under the int4 token-planar pack"
+        )
         B_pool = engine.cache.max_unique_batch_size
         # sb > 1 levels: the pool's rows are positionally grouped per level
         # (row r attends level i's prefix r // (B // sb_i)); requests target

@@ -32,13 +32,17 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from hydragen_tpu.ops.quant import quantize_kv
+from hydragen_tpu.ops.quant import quantize_kv, quantize_kv4
 
 
-def _maybe_quantize(x: jax.Array, quantized: bool):
-    """-> (payload, scale|None) in the cache's storage format."""
+def _maybe_quantize(x: jax.Array, quantized: bool, bits: int = 8):
+    """-> (payload, scale|None) in the cache's storage format.
+
+    ``bits=4`` returns UNPACKED int4 values (quantize_kv4) with the same
+    per-(token, head) scale count as int8; the token-planar nibble packing
+    happens in the write paths below."""
     if quantized:
-        return quantize_kv(x)
+        return quantize_kv4(x) if bits == 4 else quantize_kv(x)
     return x, None
 
 
@@ -96,17 +100,24 @@ class KVCache:
     # order is exactly the score-column order of the Pallas decode kernel
     # (ops/decode.py). Off under a mesh: the head dim must stay shardable.
     flat_scales: bool = False
+    # Unique payload precision when quantized: 8 (int8) or 4 (int4 packed
+    # two tokens per byte along the TOKEN axis — byte row j holds token j
+    # low / token j + S/2 high, so the payload's token dim is S/2 while
+    # scales keep all S tokens). Static aux like the layout flags: readers
+    # branch on it at trace time.
+    unique_bits: int = 8
 
     def tree_flatten(self):
         return (
             (self.unique_k, self.unique_v, self.shared,
              self.unique_k_scale, self.unique_v_scale),
-            (self.unique_bshd, self.flat_scales),
+            (self.unique_bshd, self.flat_scales, self.unique_bits),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, unique_bshd=aux[0], flat_scales=aux[1])
+        return cls(*children, unique_bshd=aux[0], flat_scales=aux[1],
+                   unique_bits=aux[2])
 
     def _replace(self, **kw) -> "KVCache":
         return dataclasses.replace(self, **kw)
@@ -117,7 +128,9 @@ class KVCache:
 
     @property
     def max_unique_seq_len(self) -> int:
-        return self.unique_k.shape[2 if self.unique_bshd else 3]
+        """LOGICAL token capacity (int4 stores two tokens per byte row)."""
+        rows = self.unique_k.shape[2 if self.unique_bshd else 3]
+        return rows * 2 if self.unique_bits == 4 else rows
 
     @property
     def quantized(self) -> bool:
@@ -137,6 +150,7 @@ def allocate_cache(
     unique_bshd: Optional[bool] = None,
     flat_scales: Optional[bool] = None,
     shared_quantized: Optional[bool] = None,
+    unique_bits: int = 8,
 ) -> KVCache:
     """Allocate zeroed cache buffers (mirrors setup_caches, llama.py:921-955).
 
@@ -156,8 +170,18 @@ def allocate_cache(
     configuration at long prefixes (decode there is VPU-softmax-bound).
     """
     assert len(max_shared_batch_sizes) == len(max_shared_seq_lengths)
+    assert unique_bits in (8, 4) and (unique_bits == 8 or quantized)
     store_dtype = jnp.int8 if quantized else dtype
     itemsize = 1 if quantized else jnp.dtype(dtype).itemsize
+    if unique_bits == 4:
+        # Token-planar nibble pack (quantize_kv4): byte row j holds token j
+        # (low nibble) and token j + S/2 (high) — the TOKEN dim halves and
+        # head_dim stays 128-lane exact. Keep S even for the plane split.
+        max_unique_seq_length = -(-max_unique_seq_length // 2) * 2
+    unique_ps = (
+        max_unique_seq_length // 2 if unique_bits == 4
+        else max_unique_seq_length
+    )
     if unique_bshd is None:
         unique_bshd = (num_kv_heads * head_dim * itemsize) % 4096 == 0
     if flat_scales is None:
@@ -166,21 +190,29 @@ def allocate_cache(
     if shared_quantized is None:
         shared_quantized = quantized
 
-    def bufs(b, s, bshd=False, flat=False, quant=quantized):
+    def bufs(b, s, bshd=False, flat=False, quant=quantized, ps=None):
+        # ps: payload seq length when packed (int4: s // 2); scales always
+        # cover the full logical s tokens.
+        ps = s if ps is None else ps
         shape = (
-            (num_layers, b, s, num_kv_heads, head_dim) if bshd
-            else (num_layers, b, num_kv_heads, s, head_dim)
+            (num_layers, b, ps, num_kv_heads, head_dim) if bshd
+            else (num_layers, b, num_kv_heads, ps, head_dim)
         )
         k = jnp.zeros(shape, dtype=jnp.int8 if quant else dtype)
         if quant:
-            sshape = (num_layers, b, s * num_kv_heads) if flat else shape[:-1]
+            if flat:
+                sshape = (num_layers, b, s * num_kv_heads)
+            elif bshd:
+                sshape = (num_layers, b, s, num_kv_heads)
+            else:
+                sshape = (num_layers, b, num_kv_heads, s)
             sc = jnp.zeros(sshape, dtype=jnp.float32)
         else:
             sc = None
         return k, jnp.zeros_like(k), sc, (None if sc is None else jnp.zeros_like(sc))
 
     uk, uv, uks, uvs = bufs(max_unique_batch_size, max_unique_seq_length,
-                            bshd=unique_bshd, flat=flat_scales)
+                            bshd=unique_bshd, flat=flat_scales, ps=unique_ps)
     shared = tuple(
         SharedLevel(
             k=b[0], v=b[1], k_scale=b[2], v_scale=b[3],
@@ -192,7 +224,7 @@ def allocate_cache(
     return KVCache(
         unique_k=uk, unique_v=uv, shared=shared,
         unique_k_scale=uks, unique_v_scale=uvs, unique_bshd=unique_bshd,
-        flat_scales=flat_scales,
+        flat_scales=flat_scales, unique_bits=unique_bits,
     )
 
 
@@ -272,9 +304,35 @@ def update_unique_prefill(
     the copied shared length. ``row_start`` targets a row slot for
     continuous-batching admission.
     """
-    kq, ks = _maybe_quantize(k, cache.quantized)
-    vq, vs = _maybe_quantize(v, cache.quantized)
+    kq, ks = _maybe_quantize(k, cache.quantized, cache.unique_bits)
+    vq, vs = _maybe_quantize(v, cache.quantized, cache.unique_bits)
     L, bb, hkv, t = k.shape[:4]
+    if cache.unique_bits == 4:
+        # Token-planar nibble pack: byte row j <- (token j low, token
+        # j + Sp high). Prefill must start at 0 — partner nibbles inside
+        # the range combine directly; below the boundary the stale high
+        # nibble is cleared (those logical tokens are masked until their
+        # own write arrives). The disable_hydragen path (traced start) is
+        # rejected at the engine.
+        assert isinstance(start, int) and start == 0, (
+            "int4 unique KV requires prefill at position 0"
+        )
+        sp = cache.unique_k.shape[2 if cache.unique_bshd else 3]
+        assert t <= 2 * sp, (t, sp)
+
+        def pack_t(q4):  # [L, b, hkv, t, hd] -> [L, b, hkv, rows, hd]
+            q32 = q4.astype(jnp.int32)
+            rows = min(t, sp)
+            lo = q32[:, :, :, :rows] & 0xF
+            if t > sp:
+                both = lo[:, :, :, : t - sp] | (q32[:, :, :, sp:] << 4)
+                lo = jnp.concatenate([both, lo[:, :, :, t - sp:]], axis=3)
+            return lo.astype(jnp.int8)
+
+        # NB: payloads now span min(t, sp) byte ROWS; the scales keep the
+        # full t logical tokens — every reshape below must use their own
+        # array shapes, not a shared token count.
+        kq, vq = pack_t(kq), pack_t(vq)
     if cache.unique_bshd:
         idx = (0, row_start, start, 0, 0)
         kq, vq = kq.transpose(0, 1, 3, 2, 4), vq.transpose(0, 1, 3, 2, 4)
@@ -282,8 +340,8 @@ def update_unique_prefill(
             if cache.flat_scales:
                 # [L, b, hkv, t] -> token-major head-minor [L, b, t*hkv].
                 sidx = (0, row_start, start * hkv)
-                ks = ks.transpose(0, 1, 3, 2).reshape(L, bb, t * hkv)
-                vs = vs.transpose(0, 1, 3, 2).reshape(L, bb, t * hkv)
+                ks = ks.transpose(0, 1, 3, 2).reshape(L, bb, -1)
+                vs = vs.transpose(0, 1, 3, 2).reshape(L, bb, -1)
             else:
                 sidx = idx[:4]
                 ks, vs = ks.transpose(0, 1, 3, 2), vs.transpose(0, 1, 3, 2)
@@ -316,23 +374,62 @@ def update_unique_decode(
     per-row scatter rewrites whole cache tiles on TPU, so the engine tracks
     raggedness and picks the path statically.
     """
-    kq, ks = _maybe_quantize(k, cache.quantized)
-    vq, vs = _maybe_quantize(v, cache.quantized)
+    kq, ks = _maybe_quantize(k, cache.quantized, cache.unique_bits)
+    vq, vs = _maybe_quantize(v, cache.quantized, cache.unique_bits)
     hkv = k.shape[2]
 
     if uniform:
+        pos = positions[0]
+        if cache.unique_bits == 4:
+            # One decode token = one NIBBLE: byte row pos % Sp, low plane
+            # for pos < Sp (the partner is a future token — its stale bits
+            # are cleared; it is masked until written), high plane for
+            # pos >= Sp (the partner token pos - Sp is live — combine with
+            # a one-byte-row read).
+            sdim = 2 if cache.unique_bshd else 3
+            sp = cache.unique_k.shape[sdim]
+            row = jnp.mod(pos, sp).astype(jnp.int32)
+            is_hi = pos >= sp
+
+            def nibble_write(buf, q4):
+                val = q4.transpose(0, 1, 3, 2, 4) if cache.unique_bshd else q4
+                idx = (
+                    (0, 0, row, 0, 0) if cache.unique_bshd
+                    else (0, 0, 0, row, 0)
+                )
+                old = jax.lax.dynamic_slice(buf, idx, val.shape)
+                o32, q32 = old.astype(jnp.int32), val.astype(jnp.int32)
+                new = jnp.where(is_hi, (o32 & 0xF) | (q32 << 4), q32 & 0xF)
+                return jax.lax.dynamic_update_slice(
+                    buf, new.astype(jnp.int8), idx
+                )
+
+            if cache.flat_scales:
+                sidx = (0, 0, pos * hkv)
+                ks, vs = ks[..., 0], vs[..., 0]  # [L, b, hkv]
+            elif cache.unique_bshd:
+                sidx = (0, 0, pos, 0)
+                ks, vs = ks.transpose(0, 1, 3, 2), vs.transpose(0, 1, 3, 2)
+            else:
+                sidx = (0, 0, 0, pos)
+            return cache._replace(
+                unique_k=nibble_write(cache.unique_k, kq),
+                unique_v=nibble_write(cache.unique_v, vq),
+                unique_k_scale=_block_update(cache.unique_k_scale, ks, sidx),
+                unique_v_scale=_block_update(cache.unique_v_scale, vs, sidx),
+            )
         if cache.unique_bshd:
-            idx = (0, 0, positions[0], 0, 0)
+            idx = (0, 0, pos, 0, 0)
             kq, vq = kq.transpose(0, 1, 3, 2, 4), vq.transpose(0, 1, 3, 2, 4)
             if ks is not None:
                 if cache.flat_scales:
-                    sidx = (0, 0, positions[0] * hkv)
+                    sidx = (0, 0, pos * hkv)
                     ks, vs = ks[..., 0], vs[..., 0]  # [L, b, hkv]
                 else:
                     sidx = idx[:4]
                     ks, vs = ks.transpose(0, 1, 3, 2), vs.transpose(0, 1, 3, 2)
         else:
-            idx = (0, 0, 0, positions[0], 0)
+            idx = (0, 0, 0, pos, 0)
             sidx = idx[:4]
         return cache._replace(
             unique_k=_block_update(cache.unique_k, kq, idx),
@@ -340,6 +437,10 @@ def update_unique_decode(
             unique_k_scale=None if ks is None else _block_update(cache.unique_k_scale, ks, sidx),
             unique_v_scale=None if vs is None else _block_update(cache.unique_v_scale, vs, sidx),
         )
+    assert cache.unique_bits == 8, (
+        "int4 unique KV supports only uniform decode positions (ragged "
+        "suffix lengths / ring-pool windows need sub-byte scatters)"
+    )
 
     b = k.shape[1]
     rows = jnp.arange(b)
@@ -393,9 +494,41 @@ def write_decode_token_layer(
     the 7B decode step showed the stack + relayout + whole-cache
     dynamic-update-slice chain costing >15 ms/step at batch 256.
     """
-    kq, ks = _maybe_quantize(k, cache.quantized)
-    vq, vs = _maybe_quantize(v, cache.quantized)
+    kq, ks = _maybe_quantize(k, cache.quantized, cache.unique_bits)
+    vq, vs = _maybe_quantize(v, cache.quantized, cache.unique_bits)
     hkv = k.shape[1]
+    if cache.unique_bits == 4:
+        # Same nibble discipline as update_unique_decode, one layer deep.
+        sdim = 2 if cache.unique_bshd else 3
+        sp = cache.unique_k.shape[sdim]
+        row = jnp.mod(slot, sp).astype(jnp.int32)
+        is_hi = slot >= sp
+
+        def nibble_write(buf, q4):
+            val = (q4.transpose(0, 2, 1, 3) if cache.unique_bshd else q4)[None]
+            idx = (
+                (layer, 0, row, 0, 0) if cache.unique_bshd
+                else (layer, 0, 0, row, 0)
+            )
+            old = jax.lax.dynamic_slice(buf, idx, val.shape)
+            o32, q32 = old.astype(jnp.int32), val.astype(jnp.int32)
+            new = jnp.where(is_hi, (o32 & 0xF) | (q32 << 4), q32 & 0xF)
+            return jax.lax.dynamic_update_slice(buf, new.astype(jnp.int8), idx)
+
+        if cache.flat_scales:
+            sidx = (layer, 0, slot * hkv)
+            ks, vs = ks[..., 0], vs[..., 0]  # [b, hkv]
+        elif cache.unique_bshd:
+            sidx = (layer, 0, slot, 0)
+            ks, vs = ks.transpose(0, 2, 1), vs.transpose(0, 2, 1)
+        else:
+            sidx = (layer, 0, 0, slot)
+        return cache._replace(
+            unique_k=nibble_write(cache.unique_k, kq),
+            unique_v=nibble_write(cache.unique_v, vq),
+            unique_k_scale=_block_update(cache.unique_k_scale, ks[None], sidx),
+            unique_v_scale=_block_update(cache.unique_v_scale, vs[None], sidx),
+        )
     if cache.unique_bshd:
         idx = (layer, 0, slot, 0, 0)
         kq, vq = kq.transpose(0, 2, 1, 3), vq.transpose(0, 2, 1, 3)
@@ -450,6 +583,10 @@ def copy_shared_to_unique(
     offsets positions accordingly when hydragen is disabled). ``sb`` is the
     level's filled prefix count (defaults to allocated).
     """
+    assert cache.unique_bits == 8, (
+        "disable_hydragen (copy_shared_to_unique) is unsupported with int4 "
+        "unique KV: the copied prefix would need traced-offset nibble packs"
+    )
     level = cache.shared[0]
     if sb is None:
         sb = level.max_batch_size
@@ -483,8 +620,7 @@ def copy_shared_to_unique(
         if cache.quantized and scale is None:
             # bf16 level -> int8 unique: quantize (amax over hd, dim -1 of
             # the BHSD [L, sb, hkv, S, hd] layout after moving hd last).
-            q, s = quantize_kv(payload)
-            return q, s
+            return quantize_kv(payload)
         if not cache.quantized and scale is not None:
             # int8 level -> bf16 unique: dequantize.
             deq = (payload.astype(jnp.float32) * scale[..., None]).astype(

@@ -425,6 +425,10 @@ class HydragenLlama:
 
         kv_quant="int8" stores KV payloads int8 with per-(token, head) fp32
         scales — halves KV HBM footprint and decode-attention bandwidth.
+        kv_quant="int4" nibble-packs the UNIQUE cache (quantize_kv4):
+        another 2x on the dominant unique-read HBM term, read on the XLA
+        attention path (planar-split dots, ops/reference.py); opt-in —
+        gate quality with scripts/quality.py / tests/test_quant.py.
         unique_bshd: token-dim-outside-tile unique layout (see
         allocate_cache); None = auto by head geometry.
         shared_kv_quant: "follow" (default; shared levels match kv_quant),
@@ -433,10 +437,14 @@ class HydragenLlama:
         bandwidth while its dequant costs a VPU pass per score; "none" is
         the fast AND more exact choice at long prefixes), or "int8".
         """
-        assert kv_quant in (None, "int8"), f"unknown kv_quant {kv_quant!r}"
+        assert kv_quant in (None, "int8", "int4"), (
+            f"unknown kv_quant {kv_quant!r}"
+        )
         assert shared_kv_quant in ("follow", "none", "int8")
         if shared_kv_quant == "follow":
-            shared_quantized = None
+            # int4 applies to the unique cache only; "follow" gives the
+            # shared levels int8 (the closest shared precision).
+            shared_quantized = True if kv_quant == "int4" else None
         else:
             shared_quantized = shared_kv_quant == "int8"
         cfg = self.config
@@ -451,8 +459,9 @@ class HydragenLlama:
             cfg.num_key_value_heads,
             cfg.head_dim,
             dtype=cache_dtype or cfg.jax_dtype,
-            quantized=kv_quant == "int8",
+            quantized=kv_quant in ("int8", "int4"),
             unique_bshd=unique_bshd,
+            unique_bits=4 if kv_quant == "int4" else 8,
             # Flat lane-major scales fold the kv-head dim into lanes, which
             # a head-sharded mesh cannot split — keep the 4D layout there.
             flat_scales=False if self.mesh is not None else None,
@@ -665,6 +674,12 @@ class HydragenLlama:
             starting_logits = self.append_shared(sid, slen)
 
         if disable_hydragen:
+            if self.cache is not None and self.cache.unique_bits == 4:
+                raise ValueError(
+                    "disable_hydragen is unsupported with kv_quant='int4': "
+                    "the copied prefix would need traced-offset nibble "
+                    "packs (run the ablation with kv_quant='int8')"
+                )
             self._disable_hydragen = True
             if self.num_used_levels > 0:
                 self.cache = _copy_shared_to_unique(

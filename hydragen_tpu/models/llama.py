@@ -427,7 +427,17 @@ def model_forward(
         level_lens = [lv.seq_lens[:sb] for lv, sb in zip(active_levels, level_sb)]
 
         if spec.unique_history:
-            if cache.unique_bshd:
+            if cache.unique_bits == 4:
+                # Token-planar int4: a [:filled] token slice would break
+                # the (j, j + S/2) byte pairing — pass the full packed
+                # buffer (and full-length scales); history_lens masks the
+                # unwritten tail exactly as padding is masked elsewhere.
+                def ukv_view4(payload, scale):
+                    return (payload[:, :b], scale[:, :b])
+
+                uk = ukv_view4(cache.unique_k, cache.unique_k_scale)
+                uv = ukv_view4(cache.unique_v, cache.unique_v_scale)
+            elif cache.unique_bshd:
                 # [L, B, U, hkv, hd]: slice rows and the token dim (dim 2).
                 def ukv_view(payload, scale):
                     p = payload[:, :b, : spec.unique_filled]
@@ -460,6 +470,7 @@ def model_forward(
     use_dec_kernel = (
         t == 1
         and cache.unique_bshd
+        and cache.unique_bits == 8
         and cache.flat_scales
         and spec.unique_history
         and history_mask is None
@@ -603,8 +614,13 @@ def model_forward(
                     else:
                         if uks is not None and cache.flat_scales:
                             # Per-layer flat slice [b, U*nkv] -> the XLA
-                            # path's [b, U, nkv] view.
-                            U = spec.unique_filled
+                            # path's [b, U, nkv] view. int4 views carry the
+                            # full allocated window (see ukv_view4).
+                            U = (
+                                cache.max_unique_seq_len
+                                if cache.unique_bits == 4
+                                else spec.unique_filled
+                            )
                             uks = uks.reshape(b, U, nkv)
                             uvs = uvs.reshape(b, U, nkv)
                         o, l = _attention(
@@ -614,6 +630,7 @@ def model_forward(
                             kv_seq_lens=None if history_mask is not None else history_lens,
                             kv_mask=history_mask, impl=impl,
                             kv_bshd=cache.unique_bshd,
+                            kv_bits=cache.unique_bits,
                         )
                         outs.append(o)
                         lses.append(l)

@@ -63,7 +63,7 @@ def _pick_impl(impl: str | None) -> str:
 
 
 def _attention(q, k, v, *, causal, kv_seq_lens, impl, kv_mask=None,
-               kv_bshd=False):
+               kv_bshd=False, kv_bits=8):
     """Dispatch a single BHSD (out, lse) attention to the selected backend.
 
     ``k``/``v`` may each be an ``(int8 payload, f32 scale)`` pair for a
@@ -80,9 +80,10 @@ def _attention(q, k, v, *, causal, kv_seq_lens, impl, kv_mask=None,
     """
     k, ks = k if isinstance(k, tuple) else (k, None)
     v, vs = v if isinstance(v, tuple) else (v, None)
-    if kv_mask is not None or kv_bshd:
-        # Arbitrary masks and the BSHD unique-cache layout exist only on the
-        # XLA path (decode-scale M; the Pallas kernels are BHSD).
+    if kv_mask is not None or kv_bshd or kv_bits != 8:
+        # Arbitrary masks, the BSHD unique-cache layout, and INT4 token-
+        # packed payloads (ops/quant.quantize_kv4 + cache write paths)
+        # exist only on the XLA path (the Pallas kernels dequantize int8).
         impl = "xla"
     elif impl in ("auto", "fused"):  # "fused" only changes the decode layer path
         M, s = q.shape[2], k.shape[2]
@@ -90,7 +91,7 @@ def _attention(q, k, v, *, causal, kv_seq_lens, impl, kv_mask=None,
     if impl == "xla":
         return attention_bhsd(
             q, k, v, causal=causal, kv_seq_lens=kv_seq_lens, kv_mask=kv_mask,
-            k_scale=ks, v_scale=vs, kv_bshd=kv_bshd,
+            k_scale=ks, v_scale=vs, kv_bshd=kv_bshd, kv_bits=kv_bits,
         )
     elif impl == "pallas":
         from hydragen_tpu.ops.flash import flash_attention_bhsd

@@ -333,6 +333,27 @@ def dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Arr
     return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
+def quantize_kv4(x: jax.Array):
+    """x ``[..., d]`` float -> (UNPACKED int4 values in int8 ``[..., d]``,
+    scale f32 ``[...]``). Same per-(token, head) symmetric scheme as
+    :func:`quantize_kv` on a [-7, 7] grid. The nibble packing itself
+    happens in the cache write paths along the TOKEN axis (core/cache.py:
+    byte row j holds token j in its low nibble and token j + S/2 high):
+    packing along head_dim would halve the minor dim to 64 and XLA's
+    (8, 128) HBM tiling would pad it straight back — zero capacity or
+    bandwidth win. Token-planar packing keeps tiles full; readers split
+    the score dot into (low, high) plane dots concatenated on the OUTPUT
+    s axis and the value dot into two contiguous contracted halves
+    (ops/reference.py attention_bhsd kv_bits=4). Full-depth version of the
+    reference's vestigial int4 KV path (xformers_stuff.py:431-530).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q4 = jnp.clip(jnp.round(xf / scale), -7, 7).astype(jnp.int8)
+    return q4, jnp.squeeze(scale, -1)
+
+
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
 
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-@partial(jax.jit, static_argnames=("causal", "scale", "kv_bshd"))
+@partial(jax.jit, static_argnames=("causal", "scale", "kv_bshd", "kv_bits"))
 def attention_bhsd(
     q: jax.Array,
     k: jax.Array,
@@ -47,6 +47,7 @@ def attention_bhsd(
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
     kv_bshd: bool = False,
+    kv_bits: int = 8,
 ):
     """Canonical-layout attention returning ``(out, lse)``.
 
@@ -68,6 +69,17 @@ def attention_bhsd(
             through a bare convert — which XLA fuses into the dot operand —
             and no dequantized bf16 copy is ever materialized in HBM
             (measured 3x on the decode unique-cache read at 7B bs256).
+        kv_bits: 4 = k/v are INT4 nibble packs along the TOKEN axis
+            (core/cache.py write paths: byte row j holds token j low,
+            token j + S/2 high; S/2 byte rows represent S logical tokens,
+            so payload seq length is halved — head_dim packing would halve
+            the minor dim to 64 and XLA's (8, 128) tiling would pad it
+            straight back). The score dot runs once per nibble plane and
+            the planes concatenate on the OUTPUT s axis (natural token
+            order); the value dot contracts the two contiguous s halves
+            separately and sums. The unpack (two shifts) is elementwise on
+            each dot operand; scales (full logical-S length) commute
+            identically to int8.
         kv_bshd: k/v (and their scales) arrive ``[b, s, hkv, d]`` /
             ``[b, s, hkv]`` — the unique cache's write-optimal layout
             (core/cache.py allocate_cache). Only the einsum subscripts
@@ -80,23 +92,38 @@ def attention_bhsd(
     """
     b, hq, m, d = q.shape
     if kv_bshd:
-        _, s, hkv, _ = k.shape
+        _, sp, hkv, dk = k.shape
     else:
-        _, hkv, s, _ = k.shape
+        _, hkv, sp, dk = k.shape
+    assert dk == d, f"kv head_dim {dk} != q head_dim {d}"
     assert hq % hkv == 0, f"GQA requires hq % hkv == 0, got {hq} {hkv}"
     group = hq // hkv
+    assert kv_bits in (8, 4)
+    int4 = kv_bits == 4
+    assert not int4 or k_scale is not None, "int4 KV requires scales"
+    s = 2 * sp if int4 else sp  # logical token count
 
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
     assert (k_scale is None) == (v_scale is None)
     qf = q.astype(jnp.float32) * scale
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-
     qg = qf.reshape(b, hkv, group, m, d)
     k_sub = "bskd" if kv_bshd else "bksd"
-    scores = jnp.einsum(f"bkgmd,{k_sub}->bkgms", qg, kf)  # [b, hkv, grp, m, s]
+    if int4:
+        from hydragen_tpu.ops.quant import unpack4
+
+        klo, khi = unpack4(k)  # int8 planes: tokens [0, sp) / [sp, 2sp)
+        scores = jnp.concatenate(
+            [
+                jnp.einsum(f"bkgmd,{k_sub}->bkgms", qg, klo.astype(jnp.float32)),
+                jnp.einsum(f"bkgmd,{k_sub}->bkgms", qg, khi.astype(jnp.float32)),
+            ],
+            axis=-1,  # output s axis — natural token order, not contracted
+        )
+    else:
+        kf = k.astype(jnp.float32)
+        scores = jnp.einsum(f"bkgmd,{k_sub}->bkgms", qg, kf)  # [b,hkv,g,m,s]
     if k_scale is not None:
         ksf = k_scale.astype(jnp.float32)
         if kv_bshd:
@@ -129,7 +156,19 @@ def attention_bhsd(
         if kv_bshd:
             vsf = vsf.transpose(0, 2, 1)
         pn = pn * vsf[:, :, None, None, :]
-    o = jnp.einsum(f"bkgms,{k_sub}->bkgmd", pn, vf)
+    if int4:
+        from hydragen_tpu.ops.quant import unpack4
+
+        vlo, vhi = unpack4(v)
+        # s is CONTRACTED here: the two contiguous halves dot separately.
+        o = (
+            jnp.einsum(f"bkgms,{k_sub}->bkgmd", pn[..., :sp],
+                       vlo.astype(jnp.float32))
+            + jnp.einsum(f"bkgms,{k_sub}->bkgmd", pn[..., sp:],
+                         vhi.astype(jnp.float32))
+        )
+    else:
+        o = jnp.einsum(f"bkgms,{k_sub}->bkgmd", pn, v.astype(jnp.float32))
     out = o.reshape(b, hq, m, d).astype(q.dtype)
 
     lse = m_safe[..., 0] + jnp.log(l_safe[..., 0])  # [b, hkv, grp, m]

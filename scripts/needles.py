@@ -71,7 +71,7 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=12)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--quantization", default=None, choices=[None, "int8", "w8a8", "int4", "w4a8"])
-    p.add_argument("--kv-quant", default=None, choices=[None, "int8"])
+    p.add_argument("--kv-quant", default=None, choices=[None, "int8", "int4"])
     p.add_argument("--corpus", default=None, help="filler text file")
     p.add_argument("--tp", type=int, default=1)
     args = p.parse_args()

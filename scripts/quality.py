@@ -200,6 +200,65 @@ def run(preset: str, tokens: int, batch: int, seed: int = 0,
     }
 
 
+def run_kv(preset: str, tokens: int, batch: int, seed: int = 0,
+           kv_quant: str = "int8"):
+    """KV-cache precision gate: fp32/bf16 WEIGHTS throughout (isolates the
+    cache), logits collected along a FORCED token stream whose decode steps
+    read the quantized shared level + growing quantized unique cache (the
+    weight gate's one-pass prefill never reads the cache at all). Compares
+    against the identical run with full-precision KV."""
+    from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
+    from hydragen_tpu.models.config import PRESETS
+    from hydragen_tpu.models.llama import init_params
+
+    cfg = PRESETS[preset] if isinstance(preset, str) else preset
+    params = init_params(cfg, jax.random.PRNGKey(seed))
+    rng = np.random.RandomState(seed)
+    half = tokens // 2
+    steps = min(tokens - half - 1, 64)
+    prefix = jnp.asarray(
+        rng.randint(1, cfg.vocab_size, size=(batch, half)), jnp.int32
+    )
+    first = jnp.asarray(
+        rng.randint(1, cfg.vocab_size, size=(batch, 1)), jnp.int32
+    )
+    overrides = jnp.asarray(
+        rng.randint(1, cfg.vocab_size, size=(batch, steps)), jnp.int32
+    )
+
+    def logits_for(kvq):
+        eng = HydragenLlama(cfg, params)
+        eng.setup_caches(
+            max_unique_batch_size=batch,
+            max_unique_seq_length=steps + 8,
+            max_shared_batch_sizes=[batch],
+            max_shared_seq_lengths=[half],
+            kv_quant=kvq,
+        )
+        _, logits = eng.generate(
+            input_ids=[prefix, first], num_return_sequences=1,
+            max_new_tokens=steps, temperature=0.0, return_logits=True,
+            token_overrides=overrides, shared_cache_op=SharedCacheOp.WIPE,
+        )
+        eng.cache = None
+        return jnp.stack(logits, axis=1)  # [b, steps, V]
+
+    logits_hi = logits_for(None)
+    logits_lo = logits_for(kv_quant)
+    # Targets: the forced stream itself (shifted one step).
+    ids = jnp.concatenate([first, overrides], axis=1)[:, : steps + 1]
+    ce_hi, ce_lo, kl = quality_metrics(logits_hi, logits_lo, ids[:, 1:])
+    return {
+        "preset": preset if isinstance(preset, str) else "custom",
+        "kv_quant": kv_quant,
+        "tokens": int(batch * steps),
+        "ce_bf16_nats": round(ce_hi, 5),
+        "ce_kvq_nats": round(ce_lo, 5),
+        "ce_delta_nats": round(abs(ce_lo - ce_hi), 6),
+        "mean_kl_nats": round(kl, 6),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="sheared-llama-1.3b")
@@ -216,10 +275,18 @@ def main():
                     "int8 (native s8 MXU matmuls); int4 = group-wise "
                     "4-bit weights (bf16 MXU); w4a8 = int4 weights on "
                     "the s8 MXU path")
+    ap.add_argument("--kv-quant", default=None, choices=[None, "int8", "int4"],
+                    help="gate the KV-CACHE precision instead of weights: "
+                    "fp weights, logits along a forced decode stream that "
+                    "reads the quantized caches")
     args = ap.parse_args()
-    print(json.dumps(run(args.preset, args.tokens, args.batch, args.seed,
-                         outliers=args.outliers, scheme=args.scheme,
-                         quantization=args.quantization)))
+    if args.kv_quant is not None:
+        print(json.dumps(run_kv(args.preset, args.tokens, args.batch,
+                                args.seed, kv_quant=args.kv_quant)))
+    else:
+        print(json.dumps(run(args.preset, args.tokens, args.batch, args.seed,
+                             outliers=args.outliers, scheme=args.scheme,
+                             quantization=args.quantization)))
 
 
 if __name__ == "__main__":

@@ -112,6 +112,15 @@ step quality_w4a8 7200 python scripts/quality.py \
 step bench_int4 5400 env HYDRAGEN_BENCH_QUANT=int4 python bench.py
 step bench_w4a8 5400 env HYDRAGEN_BENCH_QUANT=w4a8 python bench.py
 
+# 8c. INT4 unique KV at the north star: halves the dominant unique-read
+#     HBM term AND fits the protocol's 128-new arm at bs 256; also the
+#     full protocol point (int4 weights + int4 KV + 128 new).
+step bench_kv4 5400 env HYDRAGEN_BENCH_KV=int4 python bench.py
+step bench_kv4_new128 7200 env HYDRAGEN_BENCH_KV=int4 HYDRAGEN_BENCH_NEW=128 \
+  HYDRAGEN_BENCH_QUANT=int4 python bench.py
+step quality_kv4 7200 python scripts/quality.py \
+  --preset sheared-llama-1.3b --kv-quant int4 --outliers
+
 # 9. 7B paper-shape sweep (VERDICT r2 item 4) — the long pole, last.
 step sweep7b 28800 python scripts/synth.py results/sweep_r3_7b \
   --preset llama-2-7b --quantization int8 --kv-quant int8 \

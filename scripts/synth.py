@@ -30,7 +30,7 @@ MODES = ("hydragen", "hydragen_noshared", "noattention", "hydragen_nohierarchy")
 
 
 
-def fits_hbm(cfg, quant, kv_int8, bs, ns, nu, mode, levels,
+def fits_hbm(cfg, quant, kv_quant, bs, ns, nu, mode, levels,
              shared_int8=None) -> bool:
     """Pre-flight HBM estimate so paper-shape grids can include points the
     chip cannot host (the reference's noshared mode OOMs the same way at
@@ -46,9 +46,9 @@ def fits_hbm(cfg, quant, kv_int8, bs, ns, nu, mode, levels,
     L = cfg.num_hidden_layers
     weights = param_bytes(cfg, quant)
     per_tok = cfg.num_key_value_heads * cfg.head_dim * 2
-    itemsize = 1 if kv_int8 else 2
+    itemsize = {None: 2, "int8": 1, "int4": 0.5}[kv_quant]
     if shared_int8 is None:
-        shared_int8 = kv_int8
+        shared_int8 = kv_quant is not None
     s_itemsize = 1 if shared_int8 else 2
     unique_len = nu + 8 + (ns if mode == "hydragen_noshared" else 0)
     if levels == 2:
@@ -57,8 +57,8 @@ def fits_hbm(cfg, quant, kv_int8, bs, ns, nu, mode, levels,
     # different) --shared-kv precision — mispricing here defeats the
     # pre-flight and the sweep crashes mid-run.
     u_tokens = bs * unique_len + (max(16, ns // 8) * bs if levels == 2 else 0)
-    cache = L * u_tokens * per_tok * itemsize + L * ns * per_tok * s_itemsize
-    if kv_int8:
+    cache = int(L * u_tokens * per_tok * itemsize) + L * ns * per_tok * s_itemsize
+    if kv_quant is not None:
         cache += L * u_tokens * cfg.num_key_value_heads * 2 * 4  # f32 scales
     if shared_int8:
         cache += L * ns * cfg.num_key_value_heads * 2 * 4
@@ -140,7 +140,7 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--quantization", default=None,
                choices=[None, "int8", "w8a8", "int4", "w4a8"])
-    p.add_argument("--kv-quant", default=None, choices=[None, "int8"],
+    p.add_argument("--kv-quant", default=None, choices=[None, "int8", "int4"],
                    help="int8 KV cache (halves KV HBM; enables paper-scale bs)")
     p.add_argument("--shared-kv", default="follow",
                    choices=("follow", "none", "int8"),
@@ -214,10 +214,16 @@ def main():
             if path.exists():
                 print(f"skip (exists): {path}")
                 continue
+            if mode == "hydragen_noshared" and args.kv_quant == "int4":
+                # The baseline's copied prefix cannot live in the int4
+                # token-planar pack (engine raises); protocol comparisons
+                # run the baseline at int8 instead.
+                print(f"skip (noshared unsupported with kv int4): bs={bs}")
+                continue
             if not fits_hbm(engine.config, args.quantization,
-                            args.kv_quant == "int8", bs, ns, nu, mode,
+                            args.kv_quant, bs, ns, nu, mode,
                             args.levels,
-                            shared_int8={"follow": args.kv_quant == "int8",
+                            shared_int8={"follow": args.kv_quant is not None,
                                          "int8": True,
                                          "none": False}[args.shared_kv]):
                 print(f"skip (exceeds HBM): mode={mode} bs={bs} ns={ns} nu={nu}")
