@@ -470,7 +470,6 @@ def model_forward(
     use_dec_kernel = (
         t == 1
         and cache.unique_bshd
-        and cache.unique_bits == 8
         and cache.flat_scales
         and spec.unique_history
         and history_mask is None
@@ -610,6 +609,7 @@ def model_forward(
                             v_scale_all=cache.unique_v_scale,
                             own_kv=(k, v),
                             shared_partial=sh,
+                            kv_bits=cache.unique_bits,
                         )
                     else:
                         if uks is not None and cache.flat_scales:

@@ -96,7 +96,8 @@ def _decode_cached_kernel(
     v_ref,       # [1, R, block_s, c, dp] int8
     kscale_ref,  # [1, R, block_s*c] f32
     vscale_ref,  # [1, R, block_s*c] f32
-    *rest,       # merge: [k1, v1 (R, c, dp) bf16, o_sh (R, cg, dp) bf16,
+    *rest,       # [ks_hi, vs_hi (1, R, block_s*c) f32 when kv_bits=4],
+                 # merge: [k1, v1 (R, c, dp) bf16, o_sh (R, cg, dp) bf16,
                  #         lse_sh (R, cg, 1) f32], then
                  # o_ref (R, cg, dp), lse_ref (R, cg, LANES) f32, scratches
     c: int,
@@ -107,7 +108,18 @@ def _decode_cached_kernel(
     sm_scale: float,
     merge_own: bool = False,
     merge_shared: bool = False,
+    kv_bits: int = 8,
 ):
+    if kv_bits == 4:
+        # Token-planar pack: each byte block carries TWO token ranges —
+        # [j0, j0+block_s) in the low nibbles and [Sp+j0, ...) in the high
+        # (Sp = num_s_blocks * block_s byte rows). The planes unpack
+        # in-register and concatenate on sublanes into one [2W, dp]
+        # operand, so both attention dots stay single s8 MXU launches; the
+        # high plane's scales ride two extra refs (the flat scale array is
+        # token-indexed over the LOGICAL 2*Sp positions).
+        kshi_ref, vshi_ref = rest[0], rest[1]
+        rest = rest[2:]
     n_extra = (2 if merge_own else 0) + (2 if merge_shared else 0)
     extra, (o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest[:n_extra], rest[n_extra:]
     if merge_own:
@@ -134,13 +146,20 @@ def _decode_cached_kernel(
     for r in range(rows):
         limit_max = jnp.maximum(limit_max, lens_ref[bi * rows + r])
 
+    W2 = 2 * W if kv_bits == 4 else W
+    sp_tokens = num_s_blocks * block_s  # byte rows == low-plane token count
+
     @pl.when(block_start < limit_max)
     def _compute():
-        # Trace-time constants shared by all rows.
-        col_head = jax.lax.broadcasted_iota(jnp.int32, (cg, W), 1) % c
-        row_kv = jax.lax.broadcasted_iota(jnp.int32, (cg, W), 0) // group
+        # Trace-time constants shared by all rows. Lane w of the (possibly
+        # plane-concatenated) score row: kv head w % c (W % c == 0, so the
+        # pattern is plane-invariant); token = block_start + (w % W) // c
+        # + Sp * (w // W) (the high plane's tokens sit Sp later).
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (cg, W2), 1) % c
+        row_kv = jax.lax.broadcasted_iota(jnp.int32, (cg, W2), 0) // group
         diag = col_head == row_kv
-        col_tok = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) // c
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1)
+        col_tok = (w_iota % W) // c + (w_iota // W) * sp_tokens
 
         # fori_loop (not a Python unroll): the body compiles ONCE, keeping
         # Mosaic compile time flat in `rows`.
@@ -156,11 +175,22 @@ def _decode_cached_kernel(
             q8 = jnp.round(qf / qs).astype(jnp.int8)
 
             k2 = k_ref[0, r].reshape(W, k_ref.shape[-1])   # [W, dp] s8
+            if kv_bits == 4:
+                k32 = k2.astype(jnp.int32)
+                k2 = jnp.concatenate(
+                    [((k32 << 28) >> 28).astype(jnp.int8),
+                     (k32 >> 4).astype(jnp.int8)],
+                    axis=0,
+                )                                          # [2W, dp] s8
             s_i = jax.lax.dot_general(
                 q8, k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )                                              # [cg, W] i32
+            )                                              # [cg, W2] i32
             ks_row = kscale_ref[0, pl.ds(r, 1)]            # [1, W]
+            if kv_bits == 4:
+                ks_row = jnp.concatenate(
+                    [ks_row, kshi_ref[0, pl.ds(r, 1)]], axis=1
+                )                                          # [1, 2W]
             s = s_i.astype(jnp.float32) * (ks_row * qs)
 
             lenbias = jnp.where(block_start + col_tok < limit, 0.0, NEG_INF)
@@ -180,11 +210,23 @@ def _decode_cached_kernel(
             # PV on the int8 MXU: fold the per-token v scale into p, then
             # re-quantize p against its per-row max (<=0.5/127 relative
             # noise — the int8-KV error's own order).
-            pv = p * vscale_ref[0, pl.ds(r, 1)]            # [cg, W]
+            vs_row = vscale_ref[0, pl.ds(r, 1)]            # [1, W]
+            if kv_bits == 4:
+                vs_row = jnp.concatenate(
+                    [vs_row, vshi_ref[0, pl.ds(r, 1)]], axis=1
+                )
+            pv = p * vs_row                                # [cg, W2]
             pmax = jnp.max(pv, axis=1, keepdims=True)
             pmax_safe = jnp.where(pmax <= 0.0, 1.0, pmax)
             pq = jnp.round(pv * (127.0 / pmax_safe)).astype(jnp.int8)
             v2 = v_ref[0, r].reshape(W, v_ref.shape[-1])   # [W, dp] s8
+            if kv_bits == 4:
+                v32 = v2.astype(jnp.int32)
+                v2 = jnp.concatenate(
+                    [((v32 << 28) >> 28).astype(jnp.int8),
+                     (v32 >> 4).astype(jnp.int8)],
+                    axis=0,
+                )                                          # [2W, dp] s8
             o_i = jax.lax.dot_general(
                 pq, v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -270,7 +312,7 @@ def pick_row_batch(b: int, s: int, hkv: int, d: int, block_s: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_s", "row_batch", "interpret"),
+    static_argnames=("scale", "block_s", "row_batch", "interpret", "kv_bits"),
 )
 def decode_attention_cached(
     layer: jax.Array,
@@ -287,8 +329,9 @@ def decode_attention_cached(
     block_s: int | None = None,
     row_batch: int | None = None,
     interpret: bool | None = None,
+    kv_bits: int = 8,
 ):
-    """Int8 decode attention reading ONE layer of the stacked BSHD cache.
+    """Int8/int4 decode attention reading ONE layer of the stacked BSHD cache.
 
     Args:
         layer: scalar int32 — which layer's slice to attend (rides scalar
@@ -300,7 +343,11 @@ def decode_attention_cached(
         kv_seq_lens: ``[b]`` int32 valid lengths. Payload/scales beyond each
             row's length must be finite (the engine's caches are zeroed).
         k_scale_all, v_scale_all: ``[L, B, S*hkv]`` f32 flat lane-major
-            scales (the cache's flat_scales storage).
+            scales (the cache's flat_scales storage). With ``kv_bits=4``
+            the payloads are token-planar nibble packs (S here is the BYTE
+            row count; the scales and kv_seq_lens cover the LOGICAL 2*S
+            tokens) — the kernel unpacks both planes in-register and keeps
+            the single-launch structure, halving the read's HBM traffic.
         own_kv: optional ``(k1, v1)`` each ``[b, hkv, 1, d]`` float — this
             step's own-token KV, merged in-kernel as one extra softmax
             column per row (replaces the analytic own-token partial + one
@@ -323,6 +370,8 @@ def decode_attention_cached(
     assert hq % hkv == 0
     assert k_all.dtype == jnp.int8 and v_all.dtype == jnp.int8
     assert b <= B
+    assert kv_bits in (8, 4)
+    s_logical = 2 * S if kv_bits == 4 else S  # S = byte rows when int4
     group = hq // hkv
     c = hkv
     cg = c * group
@@ -352,7 +401,7 @@ def decode_attention_cached(
     assert b % R == 0, f"row_batch {R} must divide batch {b}"
 
     qf = q.reshape(b, hq, d)
-    lens = jnp.minimum(kv_seq_lens.astype(jnp.int32), S)
+    lens = jnp.minimum(kv_seq_lens.astype(jnp.int32), s_logical)
     li = jnp.reshape(layer, (1,)).astype(jnp.int32)
 
     merge_ops, merge_specs = [], []
@@ -381,6 +430,11 @@ def decode_attention_cached(
         lim = lens_ref[bi * rows]
         for r in range(1, rows):
             lim = jnp.maximum(lim, lens_ref[bi * rows + r])
+        if kv_bits == 4:
+            # Byte row j serves logical tokens j and j + S: tokens past S
+            # live in rows [0, lim - S), tokens below in [0, min(lim, S)) —
+            # the furthest byte row needed is min(lim, S) - 1.
+            lim = jnp.minimum(lim, S)
         return jnp.maximum((lim + block_s - 1) // block_s - 1, 0)
 
     def kv_index(bi, si, lens_ref, li_ref):
@@ -396,8 +450,29 @@ def decode_attention_cached(
         # (the q-quantization chain is scale-invariant, so the int8 path is
         # untouched); LSE is converted back to natural log at emit.
         num_s_blocks=num_s_blocks, sm_scale=scale * LOG2E,
-        merge_own=merge_own, merge_shared=merge_shared,
+        merge_own=merge_own, merge_shared=merge_shared, kv_bits=kv_bits,
     )
+
+    # int4: the high plane's scales ride two extra refs — the flat scale
+    # arrays are token-indexed over 2*S logical positions, so in W-lane
+    # block units the high plane's blocks start at num_s_blocks.
+    hi_scale_ops, hi_scale_specs = [], []
+    if kv_bits == 4:
+        assert k_scale_all.shape[-1] == 2 * S * c, (
+            k_scale_all.shape, S, c
+        )
+
+        def sc_hi_index(bi, si, lens_ref, li_ref):
+            return (
+                li_ref[0], bi,
+                num_s_blocks + jnp.minimum(si, last_block(lens_ref, bi)),
+            )
+
+        hi_scale_ops = [k_scale_all, v_scale_all]
+        hi_scale_specs = [
+            pl.BlockSpec((1, R, block_s * c), sc_hi_index),
+            pl.BlockSpec((1, R, block_s * c), sc_hi_index),
+        ]
 
     out, lse = pl.pallas_call(
         kernel,
@@ -410,6 +485,7 @@ def decode_attention_cached(
                 pl.BlockSpec((1, R, block_s, c, dp), kv_index),
                 pl.BlockSpec((1, R, block_s * c), sc_index),
                 pl.BlockSpec((1, R, block_s * c), sc_index),
+                *hi_scale_specs,
                 *merge_specs,
             ],
             out_specs=[
@@ -430,7 +506,8 @@ def decode_attention_cached(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lens, li, qf, k_all, v_all, k_scale_all, v_scale_all, *merge_ops)
+    )(lens, li, qf, k_all, v_all, k_scale_all, v_scale_all,
+      *hi_scale_ops, *merge_ops)
 
     out = out.reshape(b, hq, m, d)
     lse = lse[:, :, 0].reshape(b, hq, m)

@@ -216,3 +216,160 @@ def test_engine_decode_uses_kernel_and_matches_xla():
     out_xla = run("xla")
     agree = (out_kernel == out_xla).mean()
     assert agree >= 0.8, f"kernel/xla token agreement {agree}"
+
+
+# ---------------------------------------------------------------------------
+# kv_bits=4: token-planar nibble-packed cache
+# ---------------------------------------------------------------------------
+
+def _mk4(b, hq, hkv, s, d, lens_mode, seed=0):
+    """s LOGICAL tokens (even); payload packed to s//2 byte rows along S."""
+    assert s % 2 == 0
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    q = jax.random.normal(ks[0], (b, hq, 1, d), dtype=jnp.float32)
+    k4 = jax.random.randint(ks[1], (b, s, hkv, d), -7, 8, dtype=jnp.int8)
+    v4 = jax.random.randint(ks[2], (b, s, hkv, d), -7, 8, dtype=jnp.int8)
+    ksc = jax.random.uniform(ks[3], (b, s, hkv), dtype=jnp.float32) * 0.1 + 1e-3
+    vsc = jax.random.uniform(ks[4], (b, s, hkv), dtype=jnp.float32) * 0.1 + 1e-3
+    if lens_mode == "full":
+        lens = jnp.full((b,), s, jnp.int32)
+    elif lens_mode == "ragged":
+        lens = jax.random.randint(ks[5], (b,), 1, s + 1).astype(jnp.int32)
+    else:
+        lens = jnp.full((b,), int(lens_mode), jnp.int32)
+    tok = jnp.arange(s)[None, :, None]
+    m3 = tok < lens[:, None, None]
+    k4 = jnp.where(m3[..., None], k4, 0)
+    v4 = jnp.where(m3[..., None], v4, 0)
+    ksc = jnp.where(m3, ksc, 0.0)
+    vsc = jnp.where(m3, vsc, 0.0)
+
+    def pack_s(x):  # planar along the TOKEN axis (cache write discipline)
+        lo = x[:, : s // 2].astype(jnp.int32)
+        hi = x[:, s // 2:].astype(jnp.int32)
+        return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+
+    return q, pack_s(k4), pack_s(v4), ksc, vsc, lens
+
+
+@pytest.mark.parametrize(
+    "b,hq,hkv,s,d,lens_mode,block_s,R",
+    [
+        (8, 8, 8, 32, 128, "full", None, None),
+        (8, 8, 8, 32, 128, "ragged", None, 4),   # raggedness across planes
+        (8, 8, 2, 32, 128, "ragged", None, 2),   # GQA group 4
+        (8, 8, 8, 96, 128, "ragged", 16, 4),     # multi-block online softmax
+        (4, 8, 8, 32, 128, 9, None, 2),          # lens entirely in low plane
+    ],
+)
+def test_decode_kernel_int4_parity(b, hq, hkv, s, d, lens_mode, block_s, R):
+    q, pk, pv, ksc, vsc, lens = _mk4(b, hq, hkv, s, d, lens_mode)
+    flat = lambda sc: chunk_kv_scales(sc, hkv).reshape(b, s * hkv)  # noqa: E731
+    o1, l1 = decode_attention_cached(
+        jnp.int32(0), q, pk[None], pv[None], kv_seq_lens=lens,
+        k_scale_all=flat(ksc)[None], v_scale_all=flat(vsc)[None],
+        block_s=block_s, row_batch=R, kv_bits=4, interpret=True,
+    )
+    o0, l0 = attention_bhsd(
+        q, pk.transpose(0, 2, 1, 3), pv.transpose(0, 2, 1, 3),
+        kv_seq_lens=lens, k_scale=ksc.transpose(0, 2, 1),
+        v_scale=vsc.transpose(0, 2, 1), kv_bits=4,
+    )
+    _assert_close(o1, l1, o0, l0)
+
+
+def test_decode_kernel_int4_fused_merge():
+    """int4 + own-token + shared-partial merges must equal the decomposed
+    XLA path combined via combine_lse."""
+    from hydragen_tpu.ops.combine import combine_lse_with_stats
+
+    b, hq, hkv, s, d = 8, 8, 2, 32, 128
+    q, pk, pv, ksc, vsc, lens = _mk4(b, hq, hkv, s, d, "ragged")
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    k1 = jax.random.normal(ks[0], (b, hkv, 1, d), dtype=jnp.float32)
+    v1 = jax.random.normal(ks[1], (b, hkv, 1, d), dtype=jnp.float32)
+    o_sh = jax.random.normal(ks[2], (b, hq, 1, d), dtype=jnp.float32)
+    lse_sh = jax.random.normal(ks[3], (b, hq, 1), dtype=jnp.float32)
+
+    flat = lambda sc: chunk_kv_scales(sc, hkv).reshape(b, s * hkv)  # noqa: E731
+    o1, l1 = decode_attention_cached(
+        jnp.int32(0), q, pk[None], pv[None], kv_seq_lens=lens,
+        k_scale_all=flat(ksc)[None], v_scale_all=flat(vsc)[None],
+        own_kv=(k1, v1), shared_partial=(o_sh, lse_sh),
+        kv_bits=4, interpret=True,
+    )
+    o_u, l_u = attention_bhsd(
+        q, pk.transpose(0, 2, 1, 3), pv.transpose(0, 2, 1, 3),
+        kv_seq_lens=lens, k_scale=ksc.transpose(0, 2, 1),
+        v_scale=vsc.transpose(0, 2, 1), kv_bits=4,
+    )
+    import math as _math
+
+    scale = 1.0 / _math.sqrt(d)
+    group = hq // hkv
+    qg = q.astype(jnp.float32).reshape(b, hkv, group, 1, d)
+    l_own = (jnp.einsum("bkgmd,bkmd->bkgm", qg, k1.astype(jnp.float32))
+             * scale).reshape(b, hq, 1)
+    o_own = jnp.broadcast_to(
+        v1[:, :, None], (b, hkv, group, 1, d)
+    ).reshape(b, hq, 1, d)
+    o0, l0 = combine_lse_with_stats([o_u, o_own, o_sh], [l_u, l_own, lse_sh])
+    _assert_close(o1, l1, o0, l0)
+
+
+def test_engine_decode_int4_uses_kernel_and_matches_xla():
+    """Same harness as the int8 engine-dispatch test, with kv_quant='int4':
+    the kernel (kv_bits=4, interpret) must be traced and the logits along a
+    forced stream must stay within quant noise of impl='xla'."""
+    from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
+    from hydragen_tpu.models.config import ModelConfig
+    from hydragen_tpu.models.llama import init_params
+    import hydragen_tpu.models.llama as mllama
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=512, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        dtype="float32",
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, 255, (1, 16)).astype(np.int32)
+    suffix = rng.randint(1, 255, (4, 4)).astype(np.int32)
+    overrides = rng.randint(1, 255, (4, 6)).astype(np.int32)
+
+    calls = {"n": 0, "bits": None}
+    import hydragen_tpu.ops.decode as dec
+
+    real = dec.decode_attention_cached
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        calls["bits"] = kw.get("kv_bits", 8)
+        kw["interpret"] = True
+        return real(*a, **kw)
+
+    def run(impl):
+        eng = HydragenLlama(cfg, params, quantization="int8", impl=impl)
+        eng.setup_caches(4, 16, [1], [16], kv_quant="int4", unique_bshd=True)
+        assert eng.cache.flat_scales and eng.cache.unique_bits == 4
+        _, logits = eng.generate(
+            input_ids=[prompt, suffix], num_return_sequences=1,
+            max_new_tokens=6, temperature=0.0, return_logits=True,
+            token_overrides=overrides, shared_cache_op=SharedCacheOp.WIPE,
+        )
+        return [np.asarray(l) for l in logits]
+
+    orig_backend = jax.default_backend
+    dec.decode_attention_cached = counting
+    mllama.jax.default_backend = lambda: "tpu"
+    try:
+        l_kernel = run(None)
+    finally:
+        mllama.jax.default_backend = orig_backend
+        dec.decode_attention_cached = real
+    assert calls["n"] > 0, "decode did not route through the kernel"
+    assert calls["bits"] == 4
+
+    l_xla = run("xla")
+    for a, b in zip(l_kernel, l_xla):
+        assert np.abs(a - b).mean() < 0.05 * np.abs(a).mean() + 0.05

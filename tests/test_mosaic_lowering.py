@@ -126,3 +126,24 @@ def test_w4a8_gemm_lowers():
                                        block_kp=256, interpret=False),
         aq, asc, wqp, gs,
     )
+
+
+def test_decode_cached_int4_lowers():
+    from hydragen_tpu.ops.decode import decode_attention_cached
+
+    L, B, Sp, hkv, d, b, hq = 2, 8, 32, 8, 128, 8, 16  # 64 logical tokens
+    q = jnp.zeros((b, hq, 1, d), jnp.bfloat16)
+    kall = jnp.zeros((L, B, Sp, hkv, d), jnp.int8)
+    sc = jnp.zeros((L, B, 2 * Sp * hkv), jnp.float32)
+    lens = jnp.full((b,), 40, jnp.int32)
+    k1 = jnp.zeros((b, hkv, 1, d), jnp.bfloat16)
+    osh = jnp.zeros((b, hq, 1, d), jnp.bfloat16)
+    lsh = jnp.zeros((b, hq, 1), jnp.float32)
+    _lower(
+        lambda li, q, k, v, l, ks, vs, k1, v1, o, s: decode_attention_cached(
+            li, q, k, v, kv_seq_lens=l, k_scale_all=ks, v_scale_all=vs,
+            own_kv=(k1, v1), shared_partial=(o, s), kv_bits=4,
+            interpret=False,
+        ),
+        jnp.int32(0), q, kall, kall, lens, sc, sc, k1, k1, osh, lsh,
+    )
