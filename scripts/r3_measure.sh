@@ -63,6 +63,9 @@ step unique_s128_b64 1800 env HYDRAGEN_DECODE_BLOCK_S=64 \
   python scripts/ubench_unique.py --s 128
 step unique_s128_b32 1800 env HYDRAGEN_DECODE_BLOCK_S=32 \
   python scripts/ubench_unique.py --s 128
+# int4 KV read (token-planar pack): half the payload traffic — compare the
+# packed GB/s and absolute us against the int8 rows above.
+step unique_kv4 1800 python scripts/ubench_unique.py --s 128 --which kv4,kv4xla
 
 # 3. North-star step time; pick the shared-KV default at 2K prefix.
 step profile_follow 5400 python scripts/profile_decode.py --no-trace

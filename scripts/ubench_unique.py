@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--s", type=int, default=64)
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--iters", type=int, default=400)
-    ap.add_argument("--which", default="xla,rowdec")
+    ap.add_argument("--which", default="xla,rowdec,kv4,kv4xla")
     ap.add_argument("--rows", type=lambda s: [int(x) for x in s.split(",")],
                     default=[8])
     args = ap.parse_args()
@@ -56,7 +56,7 @@ def main():
                 q, k8, v8, kv_seq_lens=lens, k_scale=kscale, v_scale=vscale,
                 kv_bshd=True,
             )
-        t = timed_scanned(run_xla, (q,), num_iters=args.iters)
+        t = max(timed_scanned(run_xla, (q,), num_iters=args.iters), 1e-9)
         print(f"xla bshd commuted-scale: {t*1e6:9.1f} us  ({payload_bytes/t/1e9:.0f} GB/s)")
 
     if "bhsd" in which:
@@ -69,8 +69,58 @@ def main():
             return attention_bhsd(
                 q, kb, vb, kv_seq_lens=lens, k_scale=ksb, v_scale=vsb,
             )
-        t = timed_scanned(run_xla_bhsd, (q,), num_iters=args.iters)
+        t = max(timed_scanned(run_xla_bhsd, (q,), num_iters=args.iters), 1e-9)
         print(f"xla bhsd commuted-scale: {t*1e6:9.1f} us  ({payload_bytes/t/1e9:.0f} GB/s)")
+
+    if "kv4" in which or "kv4xla" in which:
+        # INT4 token-planar pack: same LOGICAL workload, half the payload
+        # bytes (plus the same scale bytes) — the read's bandwidth floor
+        # halves; GB/s is reported against the PACKED traffic.
+        assert s % 2 == 0
+        k4 = jnp.clip(k8, -7, 7)
+        v4 = jnp.clip(v8, -7, 7)
+
+        def pack_s(x):
+            lo = x[:, : s // 2].astype(jnp.int32)
+            hi = x[:, s // 2:].astype(jnp.int32)
+            return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+
+        pk, pv = pack_s(k4), pack_s(v4)
+        p4_bytes = payload_bytes // 2 + 4 * b * s * hkv
+        print(f"int4 payload {p4_bytes/1e6:.0f} MB -> floor "
+              f"{p4_bytes/820e9*1e6:.0f} us @820GB/s")
+
+        if "kv4xla" in which:
+            def run_kv4_xla(q):
+                return attention_bhsd(
+                    q, pk, pv, kv_seq_lens=lens, k_scale=kscale,
+                    v_scale=vscale, kv_bshd=True, kv_bits=4,
+                )
+            t = max(timed_scanned(run_kv4_xla, (q,), num_iters=args.iters), 1e-9)
+            print(f"xla bshd int4:           {t*1e6:9.1f} us  "
+                  f"({p4_bytes/t/1e9:.0f} GB/s packed)")
+
+        if "kv4" in which:
+            from hydragen_tpu.ops.decode import (
+                chunk_kv_scales, decode_attention_cached,
+            )
+
+            ks_f = chunk_kv_scales(kscale, hkv).reshape(b, s * hkv)
+            vs_f = chunk_kv_scales(vscale, hkv).reshape(b, s * hkv)
+            for R in args.rows:
+                if b % R:
+                    continue
+
+                def run_kv4(q, R=R):
+                    return decode_attention_cached(
+                        jnp.int32(0), q, pk[None], pv[None],
+                        kv_seq_lens=lens, k_scale_all=ks_f[None],
+                        v_scale_all=vs_f[None], row_batch=R, kv_bits=4,
+                    )
+                t = max(timed_scanned(run_kv4, (q,), num_iters=args.iters),
+                        1e-9)
+                print(f"pallas int4 R={R:<3d}:       {t*1e6:9.1f} us  "
+                      f"({p4_bytes/t/1e9:.0f} GB/s packed)")
 
     if "rowdec" in which:
         from hydragen_tpu.ops.decode import chunk_kv_scales, decode_attention_bshd
@@ -94,7 +144,8 @@ def main():
             )
             od = float(jnp.max(jnp.abs(o1.astype(jnp.float32) - o0.astype(jnp.float32))))
             ld = float(jnp.max(jnp.abs(l1 - l0)))
-            t = timed_scanned(run_rowdec, (q,), num_iters=args.iters)
+            t = max(timed_scanned(run_rowdec, (q,), num_iters=args.iters),
+                    1e-9)
             print(f"pallas rowdec R={R:<3d}:     {t*1e6:9.1f} us  "
                   f"({payload_bytes/t/1e9:.0f} GB/s)  dout={od:.4f} dlse={ld:.5f}")
 
