@@ -30,8 +30,9 @@ import jax
 
 # Persistent compilation cache: bench configs recompile identically between
 # runs; caching them cuts repeat wall-clock from minutes to seconds.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from hydragen_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()  # TPU only: foreign-host CPU AOT entries can SIGILL
 
 import numpy as np
 
@@ -128,7 +129,9 @@ def main():
     prompt = rng.randint(1, cfg.vocab_size, size=(1, shared_len)).astype(np.int32)
 
     budget = HBM_BYTES - param_bytes(cfg, quant)
-    shared_int8 = {"follow": kv_quant == "int8", "int8": True, "none": False}[shared_kv]
+    # "follow" + int4 stores the SHARED levels int8 (engine setup_caches) —
+    # price them that way or the bs-halving loop over-halves.
+    shared_int8 = {"follow": kv_quant is not None, "int8": True, "none": False}[shared_kv]
     # Safety net, not an abort: halve bs until the hydragen arm fits (and
     # say so in the metric name) rather than dying at the driver's hands.
     req_bs = bs

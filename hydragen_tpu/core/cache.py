@@ -254,6 +254,18 @@ def _block_update(buf, val, start_idx):
     return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), start_idx)
 
 
+def _nibble_rmw(buf, q4_val, idx, is_hi):
+    """Write one decode token's int4 values as a NIBBLE of the byte row at
+    ``idx`` (shape = q4_val.shape): the low-plane write clears the masked
+    stale partner outright; the high-plane write merges over the live
+    low-plane partner via a one-byte-row read. Shared by the batch-level
+    and per-layer in-place decode write paths — keep them in lock-step."""
+    old = jax.lax.dynamic_slice(buf, idx, q4_val.shape)
+    o32, q32 = old.astype(jnp.int32), q4_val.astype(jnp.int32)
+    new = jnp.where(is_hi, (o32 & 0xF) | (q32 << 4), q32 & 0xF)
+    return jax.lax.dynamic_update_slice(buf, new.astype(jnp.int8), idx)
+
+
 def fill_shared_level(
     cache: KVCache,
     level_idx: int,
@@ -397,12 +409,7 @@ def update_unique_decode(
                     (0, 0, row, 0, 0) if cache.unique_bshd
                     else (0, 0, 0, row, 0)
                 )
-                old = jax.lax.dynamic_slice(buf, idx, val.shape)
-                o32, q32 = old.astype(jnp.int32), val.astype(jnp.int32)
-                new = jnp.where(is_hi, (o32 & 0xF) | (q32 << 4), q32 & 0xF)
-                return jax.lax.dynamic_update_slice(
-                    buf, new.astype(jnp.int8), idx
-                )
+                return _nibble_rmw(buf, val, idx, is_hi)
 
             if cache.flat_scales:
                 sidx = (0, 0, pos * hkv)
@@ -510,10 +517,7 @@ def write_decode_token_layer(
                 (layer, 0, row, 0, 0) if cache.unique_bshd
                 else (layer, 0, 0, row, 0)
             )
-            old = jax.lax.dynamic_slice(buf, idx, val.shape)
-            o32, q32 = old.astype(jnp.int32), val.astype(jnp.int32)
-            new = jnp.where(is_hi, (o32 & 0xF) | (q32 << 4), q32 & 0xF)
-            return jax.lax.dynamic_update_slice(buf, new.astype(jnp.int8), idx)
+            return _nibble_rmw(buf, val, idx, is_hi)
 
         if cache.flat_scales:
             sidx = (layer, 0, slot * hkv)

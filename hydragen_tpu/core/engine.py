@@ -686,7 +686,14 @@ class HydragenLlama:
                     self.cache, total_batch, self.level_batch[0]
                 )
 
-        suffix_uniform = suffix_lens is None  # before bucketing pads
+        # Decode positions are uniform when no per-row lens were given OR
+        # they are all equal (callers like scripts/needles.py pass explicit
+        # lens even for rectangular batches — treating those as ragged
+        # would force the scatter write path and reject int4 KV). Checked
+        # on the host before bucketing pads: a static jit key either way.
+        suffix_uniform = suffix_lens is None or bool(
+            np.all(np.asarray(suffix_lens) == np.asarray(suffix_lens).flat[0])
+        )
         if suffix_ids is not None:
             # Bucket the suffix width like append_shared does: unique-prefill
             # programs are keyed on t, so e.g. needles question batches of

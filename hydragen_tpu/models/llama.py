@@ -368,6 +368,7 @@ def model_forward(
         t == 1
         and history_mask is None
         and not cache.unique_bshd
+        and cache.unique_bits == 8  # fused kernel has no int4 plane unpack
         and spec.mode == "decode"
         and spec.num_used_levels == 1
         and spec.unique_history

@@ -63,6 +63,7 @@ from jax.experimental.pallas import tpu as pltpu
 from hydragen_tpu.ops.flash import (
     LANES, LN2, LOG2E, NEG_CLAMP, NEG_INF, _round_up,
 )
+from hydragen_tpu.ops.quant import unpack4
 
 
 def chunk_kv_scales(scale: jax.Array, c: int) -> jax.Array:
@@ -176,12 +177,7 @@ def _decode_cached_kernel(
 
             k2 = k_ref[0, r].reshape(W, k_ref.shape[-1])   # [W, dp] s8
             if kv_bits == 4:
-                k32 = k2.astype(jnp.int32)
-                k2 = jnp.concatenate(
-                    [((k32 << 28) >> 28).astype(jnp.int8),
-                     (k32 >> 4).astype(jnp.int8)],
-                    axis=0,
-                )                                          # [2W, dp] s8
+                k2 = jnp.concatenate(unpack4(k2), axis=0)  # [2W, dp] s8
             s_i = jax.lax.dot_general(
                 q8, k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -221,12 +217,7 @@ def _decode_cached_kernel(
             pq = jnp.round(pv * (127.0 / pmax_safe)).astype(jnp.int8)
             v2 = v_ref[0, r].reshape(W, v_ref.shape[-1])   # [W, dp] s8
             if kv_bits == 4:
-                v32 = v2.astype(jnp.int32)
-                v2 = jnp.concatenate(
-                    [((v32 << 28) >> 28).astype(jnp.int8),
-                     (v32 >> 4).astype(jnp.int8)],
-                    axis=0,
-                )                                          # [2W, dp] s8
+                v2 = jnp.concatenate(unpack4(v2), axis=0)  # [2W, dp] s8
             o_i = jax.lax.dot_general(
                 pq, v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,

@@ -30,6 +30,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from hydragen_tpu.ops.quant import unpack4
+
 # Large negative instead of -inf so exp(mask - mask) never yields NaN.
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -111,8 +113,6 @@ def attention_bhsd(
     qg = qf.reshape(b, hkv, group, m, d)
     k_sub = "bskd" if kv_bshd else "bksd"
     if int4:
-        from hydragen_tpu.ops.quant import unpack4
-
         klo, khi = unpack4(k)  # int8 planes: tokens [0, sp) / [sp, 2sp)
         scores = jnp.concatenate(
             [
@@ -157,8 +157,6 @@ def attention_bhsd(
             vsf = vsf.transpose(0, 2, 1)
         pn = pn * vsf[:, :, None, None, :]
     if int4:
-        from hydragen_tpu.ops.quant import unpack4
-
         vlo, vhi = unpack4(v)
         # s is CONTRACTED here: the two contiguous halves dot separately.
         o = (

@@ -201,7 +201,7 @@ def run(preset: str, tokens: int, batch: int, seed: int = 0,
 
 
 def run_kv(preset: str, tokens: int, batch: int, seed: int = 0,
-           kv_quant: str = "int8"):
+           kv_quant: str = "int8", outliers: bool = False):
     """KV-cache precision gate: fp32/bf16 WEIGHTS throughout (isolates the
     cache), logits collected along a FORCED token stream whose decode steps
     read the quantized shared level + growing quantized unique cache (the
@@ -213,6 +213,10 @@ def run_kv(preset: str, tokens: int, batch: int, seed: int = 0,
 
     cfg = PRESETS[preset] if isinstance(preset, str) else preset
     params = init_params(cfg, jax.random.PRNGKey(seed))
+    if outliers:
+        # Outlier WEIGHT channels produce outlier K/V activation values —
+        # exactly the heavy tails that stress a per-(token, head) int4 grid.
+        params = inject_outlier_channels(params, seed)
     rng = np.random.RandomState(seed)
     half = tokens // 2
     steps = min(tokens - half - 1, 64)
@@ -251,6 +255,7 @@ def run_kv(preset: str, tokens: int, batch: int, seed: int = 0,
     return {
         "preset": preset if isinstance(preset, str) else "custom",
         "kv_quant": kv_quant,
+        "outliers": outliers,
         "tokens": int(batch * steps),
         "ce_bf16_nats": round(ce_hi, 5),
         "ce_kvq_nats": round(ce_lo, 5),
@@ -282,7 +287,8 @@ def main():
     args = ap.parse_args()
     if args.kv_quant is not None:
         print(json.dumps(run_kv(args.preset, args.tokens, args.batch,
-                                args.seed, kv_quant=args.kv_quant)))
+                                args.seed, kv_quant=args.kv_quant,
+                                outliers=args.outliers)))
     else:
         print(json.dumps(run(args.preset, args.tokens, args.batch, args.seed,
                              outliers=args.outliers, scheme=args.scheme,

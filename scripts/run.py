@@ -24,6 +24,11 @@ def main():
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top-p", type=float, default=None)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--quantization", default=None,
+                   choices=[None, "int8", "w8a8", "int4", "w4a8"],
+                   help="weight quantization (host-side during conversion)")
+    p.add_argument("--kv-quant", default=None,
+                   choices=[None, "int8", "int4"], help="KV-cache precision")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     p.add_argument("--dp", type=int, default=1, help="data-parallel degree")
     p.add_argument("--seed", type=int, default=0)
@@ -40,7 +45,9 @@ def main():
         )
 
     tok = AutoTokenizer.from_pretrained(args.pretrained)
-    engine = HydragenLlama.from_pretrained(args.pretrained, dtype=args.dtype)
+    engine = HydragenLlama.from_pretrained(
+        args.pretrained, dtype=args.dtype, quantization=args.quantization
+    )
     if args.tp * args.dp > 1:
         from hydragen_tpu.parallel import make_mesh
 
@@ -64,6 +71,7 @@ def main():
         max_unique_seq_length=ids[-1].shape[1] + args.max_new_tokens + 8,
         max_shared_batch_sizes=[a.shape[0] for a in ids],
         max_shared_seq_lengths=[a.shape[1] + 8 for a in ids],
+        kv_quant=args.kv_quant,
     )
     out = engine.generate(
         input_ids=ids,

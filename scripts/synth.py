@@ -162,8 +162,9 @@ def main():
 
     # Sweep configs recompile identically between (resumed) runs; the
     # persistent cache cuts repeat wall-clock from minutes to seconds.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from hydragen_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # TPU only (foreign-host CPU AOT can SIGILL)
 
     from hydragen_tpu.core.engine import HydragenLlama
     from hydragen_tpu.models.config import PRESETS

@@ -21,8 +21,9 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from hydragen_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()  # TPU only: foreign-host CPU AOT entries can SIGILL
 
 from hydragen_tpu.ops.gemm import quantize_rows, w8a8_matmul
 from hydragen_tpu.utils.timing import timed_scanned

@@ -126,6 +126,24 @@ def _cfg():
     )
 
 
+def _hf_and_params():
+    """Random-init HF model + transplanted params (the CLAUDE.md e2e
+    invariant: anchor to a CPU fp32 HF transformer oracle)."""
+    import torch
+    import transformers
+
+    from hydragen_tpu.models import hf as hfmod
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg, params = hfmod.from_hf_model(model, dtype="float32")
+    return model, cfg, params
+
+
 def _forced_logits(cfg, params, kv_quant, prompt, suffix, overrides,
                    unique_bshd=None):
     eng = HydragenLlama(cfg, params)
@@ -141,14 +159,31 @@ def _forced_logits(cfg, params, kv_quant, prompt, suffix, overrides,
 
 
 def test_kv4_engine_e2e_logits_close_and_layout_invariant():
-    cfg = _cfg()
-    params = init_params(cfg, jax.random.PRNGKey(0))
+    import torch
+
+    hf_model, cfg, params = _hf_and_params()
     rng = np.random.RandomState(0)
     prompt = rng.randint(1, 256, (1, 10)).astype(np.int32)
     suffix = rng.randint(1, 256, (4, 6)).astype(np.int32)
     overrides = rng.randint(1, 256, (8, 6)).astype(np.int32)
 
     l_fp = _forced_logits(cfg, params, None, prompt, suffix, overrides)
+    # HF ORACLE anchor for the fp reference itself (CLAUDE.md e2e
+    # invariant): generate's logits list leads with the PREFILL logits and
+    # decode step t consumes overrides[:, t] (engine.py token_overrides),
+    # so l_fp[t][row] = HF prediction after consuming
+    # prompt + suffix_row + overrides[row, :t].
+    P, S = prompt.shape[1], suffix.shape[1]
+    for row in range(8):
+        seq = np.concatenate([prompt[0], suffix[row // 2], overrides[row]])
+        with torch.no_grad():
+            hf_logits = hf_model(torch.tensor(seq)[None]).logits[0].numpy()
+        for step in range(len(l_fp)):
+            want = hf_logits[P + S - 1 + step]
+            got = l_fp[step][row]
+            rd = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+            assert rd < 2e-2, f"fp engine vs HF oracle row {row} step {step}: {rd}"
+
     l_4 = _forced_logits(cfg, params, "int4", prompt, suffix, overrides)
     l_4b = _forced_logits(cfg, params, "int4", prompt, suffix, overrides,
                           unique_bshd=True)
@@ -179,3 +214,35 @@ def test_kv4_unsupported_paths_error_clearly():
     eng2.append_shared(prompt)
     with pytest.raises(AssertionError, match="int4"):
         ContinuousBatcher(eng2)
+
+
+def test_kv4_accepts_explicit_equal_seq_lens():
+    """Callers (e.g. scripts/needles.py) pass explicit suffix seq_lens even
+    for rectangular batches; all-equal lens must resolve to the uniform
+    decode write path (ragged would be rejected under int4)."""
+    cfg = _cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    eng = HydragenLlama(cfg, params)
+    eng.setup_caches(4, 16, [1], [12], kv_quant="int4")
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, 256, (1, 8)).astype(np.int32)
+    suffix = rng.randint(1, 256, (4, 4)).astype(np.int32)
+    out = np.asarray(eng.generate(
+        input_ids=[prompt, suffix],
+        seq_lens=[np.full((1,), 8, np.int32), np.full((4,), 4, np.int32)],
+        num_return_sequences=1, max_new_tokens=4, temperature=0.0,
+        shared_cache_op=SharedCacheOp.WIPE,
+    ))
+    assert out.shape == (4, 4)
+
+    # Genuinely ragged suffixes still reject with the clear message.
+    with pytest.raises(AssertionError, match="uniform decode positions"):
+        eng2 = HydragenLlama(cfg, params)
+        eng2.setup_caches(4, 16, [1], [12], kv_quant="int4")
+        eng2.generate(
+            input_ids=[prompt, suffix],
+            seq_lens=[np.full((1,), 8, np.int32),
+                      np.asarray([4, 3, 4, 2], np.int32)],
+            num_return_sequences=1, max_new_tokens=4, temperature=0.0,
+            shared_cache_op=SharedCacheOp.WIPE,
+        )
