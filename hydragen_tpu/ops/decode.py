@@ -382,6 +382,13 @@ def decode_attention_cached(
         # HYDRAGEN_DECODE_BLOCK_S overrides for tuning.
         env = os.environ.get("HYDRAGEN_DECODE_BLOCK_S")
         target = int(env) if env else min(S, max(8, 4096 // hkv))
+        if row_batch is not None:
+            # An explicit row_batch must still fit scoped VMEM (~16 MB):
+            # K+V blocks are double-buffered, so the steady-state footprint
+            # is ~ R * 4 * block_s * hkv * d bytes. Cap the auto block so
+            # that stays under ~12 MB (headroom for q/scales/out).
+            cap = max(1, (12 << 20) // (4 * row_batch * hkv * dp))
+            target = min(target, cap)
         block_s = next(
             t for t in range(target, 0, -1)
             if S % t == 0 and ((t * hkv) % LANES == 0 or t == S)

@@ -63,16 +63,27 @@ def main():
         flops = 2 * M * K * Np
         print(f"== {name}: M={M} K={K} N={Np}  ({flops/1e9:.1f} GFLOP)")
 
+        def guard(t):
+            # Differenced elapsed can come out <= 0 on a noisy tunnel; clamp
+            # and flag rather than dividing by zero (same as ubench_unique).
+            if t <= 0:
+                print("  (!) non-positive elapsed clamped — rerun this arm")
+                return 1e-9
+            return t
+
+        # Weights are passed as ARGUMENTS to the timed op: closure-captured
+        # arrays lower to HLO constants and the axon remote-compile endpoint
+        # rejects the resulting request body (HTTP 413) at lm_head size.
         if "bf16" in which:
-            def run_bf16(x):
+            def run_bf16(x, wbf):
                 return jnp.einsum("mk,nk->mn", x, wbf,
                                   preferred_element_type=jnp.float32
                                   ).astype(jnp.bfloat16)
-            t = timed_scanned(run_bf16, (x,), num_iters=args.iters)
+            t = guard(timed_scanned(run_bf16, (x, wbf), num_iters=args.iters))
             print(f"  bf16 : {t*1e6:9.1f} us  ({flops/t/1e12:6.1f} TFLOP/s)")
 
         if "dq" in which:
-            def run_dq(x):
+            def run_dq(x, w8, wscale):
                 # Tie the payload to the perturbed input: the dequant chain
                 # is otherwise loop-invariant inside timed_scanned's scan
                 # and XLA hoists it, under-reporting the path's real cost
@@ -82,7 +93,8 @@ def main():
                 return jnp.einsum("mk,nk->mn", x, w,
                                   preferred_element_type=jnp.float32
                                   ).astype(jnp.bfloat16)
-            t = timed_scanned(run_dq, (x,), num_iters=args.iters)
+            t = guard(timed_scanned(run_dq, (x, w8, wscale),
+                                    num_iters=args.iters))
             print(f"  dq   : {t*1e6:9.1f} us  ({flops/t/1e12:6.1f} TFLOP/s)")
 
         if "w8a8" in which:
@@ -90,11 +102,12 @@ def main():
             bk = next(b for b in (args.block_k, 1024, 512, 256, 128)
                       if K % b == 0)
 
-            def run_w8a8(x):
+            def run_w8a8(x, w8, wscale):
                 a_q, a_s = quantize_rows(x)
                 return w8a8_matmul(a_q, a_s, w8, wscale,
                                    block_n=bn, block_k=bk)
-            t = timed_scanned(run_w8a8, (x,), num_iters=args.iters)
+            t = guard(timed_scanned(run_w8a8, (x, w8, wscale),
+                                    num_iters=args.iters))
             print(f"  w8a8 : {t*1e6:9.1f} us  ({flops/t/1e12:6.1f} TOP/s "
                   "incl. row quantize)")
 
@@ -121,21 +134,23 @@ def main():
                     bn = next(b for b in (args.block_n, 512, 256, 128)
                               if Np % b == 0)
 
-                    def run_w4a8(x):
+                    def run_w4a8(x, qp, gscale):
                         a_q, a_s = quantize_rows(x)
-                        return w4a8_matmul(a_q, a_s, t4.qp, t4.gscale,
+                        return w4a8_matmul(a_q, a_s, qp, gscale,
                                            block_n=bn, block_kp=bkp)
-                    t = timed_scanned(run_w4a8, (x,), num_iters=args.iters)
+                    t = guard(timed_scanned(run_w4a8, (x, t4.qp, t4.gscale),
+                                            num_iters=args.iters))
                     print(f"  w4a8 : {t*1e6:9.1f} us  "
                           f"({flops/t/1e12:6.1f} TOP/s incl. row quantize)")
             if "dq4" in which:
-                def run_dq4(x):
+                def run_dq4(x, qp, gscale):
                     dep = (x[0, 0] * 0).astype(jnp.int8)  # defeat hoisting
-                    w = dequantize4(t4._replace(qp=t4.qp + dep))  # [K, Np]
+                    w = dequantize4(t4._replace(qp=qp + dep, gscale=gscale))
                     return jnp.einsum("mk,kn->mn", x, w,
                                       preferred_element_type=jnp.float32
                                       ).astype(jnp.bfloat16)
-                t = timed_scanned(run_dq4, (x,), num_iters=args.iters)
+                t = guard(timed_scanned(run_dq4, (x, t4.qp, t4.gscale),
+                                        num_iters=args.iters))
                 print(f"  dq4  : {t*1e6:9.1f} us  ({flops/t/1e12:6.1f} "
                       "TFLOP/s, XLA int4 group-dequant)")
 

@@ -51,13 +51,18 @@ def main():
 
     which = args.which.split(",")
 
+    # NB: every timed op takes its KV tensors as ARGUMENTS (not closure
+    # captures): closed-over arrays lower to HLO constants, and the axon
+    # remote-compile endpoint rejects the resulting multi-hundred-MB request
+    # body (HTTP 413). Arguments stay device-side parameters.
     if "xla" in which:
-        def run_xla(q):
+        def run_xla(q, k8, v8, kscale, vscale):
             return attention_bhsd(
                 q, k8, v8, kv_seq_lens=lens, k_scale=kscale, v_scale=vscale,
                 kv_bshd=True,
             )
-        t = max(timed_scanned(run_xla, (q,), num_iters=args.iters), 1e-9)
+        t = max(timed_scanned(run_xla, (q, k8, v8, kscale, vscale),
+                              num_iters=args.iters), 1e-9)
         print(f"xla bshd commuted-scale: {t*1e6:9.1f} us  ({payload_bytes/t/1e9:.0f} GB/s)")
 
     if "bhsd" in which:
@@ -66,11 +71,12 @@ def main():
         ksb = kscale.transpose(0, 2, 1)
         vsb = vscale.transpose(0, 2, 1)
 
-        def run_xla_bhsd(q):
+        def run_xla_bhsd(q, kb, vb, ksb, vsb):
             return attention_bhsd(
                 q, kb, vb, kv_seq_lens=lens, k_scale=ksb, v_scale=vsb,
             )
-        t = max(timed_scanned(run_xla_bhsd, (q,), num_iters=args.iters), 1e-9)
+        t = max(timed_scanned(run_xla_bhsd, (q, kb, vb, ksb, vsb),
+                              num_iters=args.iters), 1e-9)
         print(f"xla bhsd commuted-scale: {t*1e6:9.1f} us  ({payload_bytes/t/1e9:.0f} GB/s)")
 
     if "kv4" in which or "kv4xla" in which:
@@ -92,12 +98,13 @@ def main():
               f"{p4_bytes/820e9*1e6:.0f} us @820GB/s")
 
         if "kv4xla" in which:
-            def run_kv4_xla(q):
+            def run_kv4_xla(q, pk, pv, kscale, vscale):
                 return attention_bhsd(
                     q, pk, pv, kv_seq_lens=lens, k_scale=kscale,
                     v_scale=vscale, kv_bshd=True, kv_bits=4,
                 )
-            t = max(timed_scanned(run_kv4_xla, (q,), num_iters=args.iters), 1e-9)
+            t = max(timed_scanned(run_kv4_xla, (q, pk, pv, kscale, vscale),
+                                  num_iters=args.iters), 1e-9)
             print(f"xla bshd int4:           {t*1e6:9.1f} us  "
                   f"({p4_bytes/t/1e9:.0f} GB/s packed)")
 
@@ -112,14 +119,20 @@ def main():
                 if b % R:
                     continue
 
-                def run_kv4(q, R=R):
+                def run_kv4(q, pk, pv, ks_f, vs_f, R=R):
                     return decode_attention_cached(
                         jnp.int32(0), q, pk[None], pv[None],
                         kv_seq_lens=lens, k_scale_all=ks_f[None],
                         v_scale_all=vs_f[None], row_batch=R, kv_bits=4,
                     )
-                t = max(timed_scanned(run_kv4, (q,), num_iters=args.iters),
-                        1e-9)
+                try:
+                    t = max(timed_scanned(run_kv4, (q, pk, pv, ks_f, vs_f),
+                                          num_iters=args.iters),
+                            1e-9)
+                except Exception as e:  # e.g. VMEM OOM at this R — next arm
+                    print(f"pallas int4 R={R:<3d}:       FAILED "
+                          f"({type(e).__name__}: {str(e)[:120]})")
+                    continue
                 print(f"pallas int4 R={R:<3d}:       {t*1e6:9.1f} us  "
                       f"({p4_bytes/t/1e9:.0f} GB/s packed)")
 
@@ -133,20 +146,26 @@ def main():
             if b % R:
                 continue
 
-            def run_rowdec(q, R=R):
+            def run_rowdec(q, k8, v8, ksc_c, vsc_c, R=R):
                 return decode_attention_bshd(
                     q, k8, v8, kv_seq_lens=lens, k_scale=ksc_c, v_scale=vsc_c,
                     scales_chunked=True, row_batch=R,
                 )
-            o1, l1 = run_rowdec(q)
-            o0, l0 = attention_bhsd(
-                q, k8, v8, kv_seq_lens=lens, k_scale=kscale, v_scale=vscale,
-                kv_bshd=True,
-            )
-            od = float(jnp.max(jnp.abs(o1.astype(jnp.float32) - o0.astype(jnp.float32))))
-            ld = float(jnp.max(jnp.abs(l1 - l0)))
-            t = max(timed_scanned(run_rowdec, (q,), num_iters=args.iters),
-                    1e-9)
+            try:
+                o1, l1 = run_rowdec(q, k8, v8, ksc_c, vsc_c)
+                o0, l0 = attention_bhsd(
+                    q, k8, v8, kv_seq_lens=lens, k_scale=kscale, v_scale=vscale,
+                    kv_bshd=True,
+                )
+                od = float(jnp.max(jnp.abs(o1.astype(jnp.float32) - o0.astype(jnp.float32))))
+                ld = float(jnp.max(jnp.abs(l1 - l0)))
+                t = max(timed_scanned(run_rowdec, (q, k8, v8, ksc_c, vsc_c),
+                                      num_iters=args.iters),
+                        1e-9)
+            except Exception as e:  # e.g. VMEM OOM at this R — next arm
+                print(f"pallas rowdec R={R:<3d}:     FAILED "
+                      f"({type(e).__name__}: {str(e)[:120]})")
+                continue
             print(f"pallas rowdec R={R:<3d}:     {t*1e6:9.1f} us  "
                   f"({payload_bytes/t/1e9:.0f} GB/s)  dout={od:.4f} dlse={ld:.5f}")
 
