@@ -290,15 +290,125 @@ def _decode_cached_kernel(
         jax.lax.fori_loop(0, rows, ebody, 0, unroll=False)
 
 
-def pick_row_batch(b: int, s: int, hkv: int, d: int, block_s: int) -> int:
-    """Rows per grid cell: amortize the ~0.5 us cell overhead while keeping
-    K+V blocks (x2 for double buffering) within a ~4 MB VMEM budget."""
-    per_row = 2 * block_s * hkv * max(d, LANES)
-    cap = max(1, (4 << 20) // max(per_row, 1))
-    r = 1
-    while r * 2 <= cap and b % (r * 2) == 0 and r < 8:
-        r *= 2
-    return r
+def decode_kernel_supported(b: int, B: int) -> bool:
+    """Can the cached decode kernel run at this (rows, buffer-rows) pair?
+
+    Mosaic requires each BlockSpec's second-to-last block dim to be a
+    multiple of 8 or equal to the array dim. The flat scale operands are
+    ``[L, B, S*hkv]`` blocked ``(1, R, block_s*hkv)``, so the row batch R
+    must satisfy ``R % 8 == 0 or R == B`` — reachable iff ``b % 8 == 0`` or
+    ``b == B`` (R must also divide b). Round-3 postmortem: the auto picker
+    chose R=4 at b=32 (7B sweep) and at the bs-8 no-sharing baseline, which
+    Mosaic rejects at lowering (results/r3_measure/sweep7b.log)."""
+    return b % 8 == 0 or b == B
+
+
+def _legal_row_batches(b: int, B: int) -> list[int]:
+    return [
+        r for r in range(1, b + 1)
+        if b % r == 0 and (r % 8 == 0 or r == B)
+    ]
+
+
+# Known-good/bad boundary measured on v5e (scoped-vmem limit 16 MB): the
+# (R=8, block_s=112, hkv=32, d=128) bench config compiles (~15.3 MB by this
+# estimate) while (R=8, block_s=128) is rejected at 17.12 MB
+# (results/r3_measure/unique_s128_auto.log).
+_VMEM_BUDGET = int(15.5 * (1 << 20))
+
+
+def _kernel_vmem_bytes(
+    R: int, t: int, hkv: int, dp: int, cg: int, kv_bits: int,
+    merge_own: bool, merge_shared: bool,
+) -> int:
+    """Conservative scoped-VMEM estimate for one grid cell's buffers."""
+    kv = 4 * R * t * hkv * dp  # k+v int8 blocks, double-buffered
+    n_sc = 4 if kv_bits == 4 else 2  # int4 adds the two high-plane refs
+    sc = 2 * n_sc * R * t * hkv * 4  # f32 scale blocks, double-buffered
+    fixed = 2 * R * cg * dp * 2  # q + out (bf16)
+    fixed += R * cg * (dp + 2 * LANES) * 4  # acc/m/l scratch (f32)
+    fixed += 2 * R * cg * LANES * 4  # lse out (f32, buffered)
+    if kv_bits == 4:
+        fixed += 4 * t * hkv * dp  # unpacked [2W, dp] k2/v2 temporaries
+    if merge_own:
+        fixed += 2 * 2 * R * hkv * dp * 2  # k1/v1 bf16, buffered
+    if merge_shared:
+        fixed += 2 * R * cg * (dp * 2 + 4)  # o_sh bf16 + lse_sh f32
+    return kv + sc + fixed
+
+
+def _pick_blocks(
+    b: int, B: int, S: int, hkv: int, dp: int, cg: int, kv_bits: int,
+    merge_own: bool, merge_shared: bool,
+    block_s: int | None, row_batch: int | None,
+    interpret: bool = False,
+) -> tuple[int, int]:
+    """Joint (row_batch, block_s) selection: Mosaic-legal and VMEM-safe.
+
+    Legality: R must divide b and satisfy ``R % 8 == 0 or R == B`` (scale
+    BlockSpec rule — see decode_kernel_supported); block_s must divide S
+    and satisfy ``(block_s*hkv) % 128 == 0 or block_s == S``. Among legal
+    pairs, prefer R=8 (measured best cell-overhead/VMEM tradeoff) and the
+    largest block_s whose estimated footprint fits the 16 MB scoped-VMEM
+    limit. An explicit ``block_s`` argument is honored verbatim (tests
+    drive exact grids in interpret mode); ``HYDRAGEN_DECODE_BLOCK_S`` only
+    caps — an oversized request degrades to the largest legal fit."""
+    if block_s is not None:
+        assert S % block_s == 0, f"cache S={S} must tile by block_s={block_s}"
+    if row_batch is not None:
+        assert b % row_batch == 0, f"row_batch {row_batch} must divide batch {b}"
+        assert interpret or row_batch % 8 == 0 or row_batch == B, (
+            f"row_batch {row_batch} illegal for buffer rows B={B}: Mosaic "
+            "needs the blocked row dim % 8 == 0 or == the array dim"
+        )
+        rs = [row_batch]
+    else:
+        legal = (
+            [r for r in range(1, b + 1) if b % r == 0] if interpret
+            else _legal_row_batches(b, B)
+        )
+        if not legal:
+            raise ValueError(
+                f"decode kernel unsupported at b={b}, B={B} (need b % 8 == 0 "
+                "or b == B); gate callers with decode_kernel_supported()"
+            )
+        ge8 = [r for r in legal if r >= 8]
+        rs = [min(ge8)] if ge8 else [max(legal)]
+        # Fallback ladder: if the preferred R cannot fit VMEM at any legal
+        # block_s, try the remaining legal Rs smallest-first.
+        rs += sorted(r for r in legal if r not in rs)
+
+    if block_s is not None:
+        cands = [block_s]  # explicit block: honored verbatim
+        cap = block_s
+    else:
+        cands = [
+            t for t in range(S, 0, -1)
+            if S % t == 0 and ((t * hkv) % LANES == 0 or t == S)
+        ]
+        env = os.environ.get("HYDRAGEN_DECODE_BLOCK_S")
+        cap = int(env) if env else min(S, max(8, 4096 // hkv))
+    for R in rs:
+        for t in cands:
+            if t > cap:
+                continue
+            if _kernel_vmem_bytes(
+                R, t, hkv, dp, cg, kv_bits, merge_own, merge_shared
+            ) <= _VMEM_BUDGET:
+                return R, t
+        # A cap below every fitting candidate must not brick the call:
+        # retry uncapped before shrinking R.
+        for t in cands:
+            if _kernel_vmem_bytes(
+                R, t, hkv, dp, cg, kv_bits, merge_own, merge_shared
+            ) <= _VMEM_BUDGET:
+                return R, t
+    if block_s is not None and row_batch is not None:
+        return rs[0], block_s  # fully explicit: the caller owns the risk
+    raise ValueError(
+        f"no (row_batch, block_s) fits scoped VMEM at b={b}, S={S}, "
+        f"hkv={hkv}, d={dp} (candidates {cands[-3:]})"
+    )
 
 
 @functools.partial(
@@ -373,30 +483,16 @@ def decode_attention_cached(
 
     dp = max(_round_up(d, LANES), LANES)
     assert d == dp, "head_dim must be a 128-lane multiple for the cached kernel"
-    if block_s is None:
-        # Largest divisor of S within the VMEM-friendly target whose scale
-        # block (block_s*hkv lanes) stays a 128-multiple (or covers S).
-        # Smaller blocks let the clamped index maps skip DMA for the
-        # yet-unfilled tail of the decode window (reads track the filled
-        # length at block granularity) at the cost of more grid cells;
-        # HYDRAGEN_DECODE_BLOCK_S overrides for tuning.
-        env = os.environ.get("HYDRAGEN_DECODE_BLOCK_S")
-        target = int(env) if env else min(S, max(8, 4096 // hkv))
-        if row_batch is not None:
-            # An explicit row_batch must still fit scoped VMEM (~16 MB):
-            # K+V blocks are double-buffered, so the steady-state footprint
-            # is ~ R * 4 * block_s * hkv * d bytes. Cap the auto block so
-            # that stays under ~12 MB (headroom for q/scales/out).
-            cap = max(1, (12 << 20) // (4 * row_batch * hkv * dp))
-            target = min(target, cap)
-        block_s = next(
-            t for t in range(target, 0, -1)
-            if S % t == 0 and ((t * hkv) % LANES == 0 or t == S)
-        )
-    num_s_blocks = -(-S // block_s)
-    assert S % block_s == 0, f"cache S={S} must tile by block_s={block_s}"
-    R = row_batch or pick_row_batch(b, S, hkv, d, block_s)
-    assert b % R == 0, f"row_batch {R} must divide batch {b}"
+    # Joint Mosaic-legal, VMEM-safe (row_batch, block_s) selection. Smaller
+    # blocks let the clamped index maps skip DMA for the yet-unfilled tail
+    # of the decode window at the cost of more grid cells;
+    # HYDRAGEN_DECODE_BLOCK_S / the explicit args cap the block for tuning.
+    R, block_s = _pick_blocks(
+        b, B, S, hkv, dp, cg, kv_bits,
+        own_kv is not None, shared_partial is not None,
+        block_s, row_batch, interpret=interpret,
+    )
+    num_s_blocks = S // block_s
 
     qf = q.reshape(b, hq, d)
     lens = jnp.minimum(kv_seq_lens.astype(jnp.int32), s_logical)

@@ -154,6 +154,63 @@ def test_decode_kernel_fused_merge(hq, hkv, with_shared, with_own):
     assert rel < 3e-2, f"fused-merge rel err {rel}"
 
 
+@pytest.mark.parametrize(
+    "b,B,S,hkv,kv_bits",
+    [
+        (32, 32, 144, 32, 8),    # r3 sweep7b crash: auto picked R=4 (illegal)
+        (8, 8, 2128, 32, 8),     # r3 bench_w4a8 no-sharing baseline crash
+        (256, 256, 128, 32, 8),  # r3 unique_s128_auto scoped-VMEM OOM
+        (256, 256, 64, 32, 8),   # bench default (known-good; must stay R=8)
+        (4, 4, 2128, 32, 8),     # bench baseline at bs 4 (R == B legality)
+        (256, 256, 64, 32, 4),   # int4 plane-doubled VMEM accounting
+        (96, 96, 144, 32, 8),    # b % 8 == 0 via a non-power-of-two batch
+    ],
+)
+def test_pick_blocks_legal_and_vmem_safe(b, B, S, hkv, kv_bits):
+    """The auto (row_batch, block_s) picker must always produce a pair that
+    is Mosaic-legal (scale BlockSpec: R % 8 == 0 or R == B; lane dim:
+    (block_s*hkv) % 128 == 0 or block_s == S) and within the 16 MB
+    scoped-VMEM limit — the round-3 TPU failures were exactly these two
+    violations (results/r3_measure/{sweep7b,bench_w4a8,unique_s128_auto})."""
+    from hydragen_tpu.ops.decode import (
+        _kernel_vmem_bytes, _pick_blocks, decode_kernel_supported,
+    )
+
+    assert decode_kernel_supported(b, B)
+    dp, cg = 128, hkv  # group 1 (7B MHA geometry)
+    R, t = _pick_blocks(b, B, S, hkv, dp, cg, kv_bits, True, True, None, None)
+    assert b % R == 0
+    assert R % 8 == 0 or R == B, (R, B)
+    assert S % t == 0
+    assert (t * hkv) % 128 == 0 or t == S, (t, hkv)
+    assert _kernel_vmem_bytes(R, t, hkv, dp, cg, kv_bits, True, True) <= int(
+        15.5 * (1 << 20)
+    )
+
+
+def test_pick_blocks_rejects_unsupported_batch():
+    from hydragen_tpu.ops.decode import _pick_blocks, decode_kernel_supported
+
+    assert not decode_kernel_supported(4, 8)
+    assert not decode_kernel_supported(12, 16)
+    with pytest.raises(ValueError):
+        _pick_blocks(12, 16, 64, 32, 128, 32, 8, False, False, None, None)
+
+
+def test_pick_blocks_env_caps_not_forces(monkeypatch):
+    """HYDRAGEN_DECODE_BLOCK_S above any VMEM-fitting candidate must degrade
+    to the largest legal fit instead of compiling an OOMing kernel."""
+    from hydragen_tpu.ops.decode import _kernel_vmem_bytes, _pick_blocks
+
+    monkeypatch.setenv("HYDRAGEN_DECODE_BLOCK_S", "4096")
+    R, t = _pick_blocks(
+        256, 256, 4096, 32, 128, 32, 8, False, False, None, None
+    )
+    assert _kernel_vmem_bytes(R, t, 32, 128, 32, 8, False, False) <= int(
+        15.5 * (1 << 20)
+    )
+
+
 def test_chunk_scales_roundtrip():
     sc = jax.random.uniform(jax.random.PRNGKey(9), (3, 16, 8))
     for c in (1, 2, 4, 8):
