@@ -357,32 +357,6 @@ def model_forward(
         s = scale[:, :rows, :, :fl] if rows is not None else scale[:, :, :, :fl]
         return (p, s)
 
-    # Fused cached decode (opt-in, impl="fused"): one Pallas launch per layer
-    # reads the shared level and the unique history straight out of the
-    # stacked cache buffers (layer index via scalar prefetch) and merges them
-    # in-registers. Measured e2e on v5e it still loses to the decomposed XLA
-    # path at bench scale (~5.2k vs 6.8k tok/s int8): the kernel's padded
-    # block reads exceed XLA's fused exact reads and the launch serializes
-    # the scan body. Kept opt-in for large-prefix regimes and future tuning.
-    use_fused_cached = (
-        t == 1
-        and history_mask is None
-        and not cache.unique_bshd
-        and cache.unique_bits == 8  # fused kernel has no int4 plane unpack
-        and spec.mode == "decode"
-        and spec.num_used_levels == 1
-        and spec.unique_history
-        and not spec.disable_hydragen
-        and not spec.disable_attention
-        and not spec.sharded
-        and (cache.unique_k_scale is None) == (cache.shared[0].k_scale is None)
-        and (not spec.level_batch
-             or spec.level_batch[0] == cache.shared[0].max_batch_size)
-        and cfg.head_dim % 128 == 0
-        and spec.impl == "fused"
-        and jax.default_backend() == "tpu"
-    )
-
     # Cached shared-level reads: route level j through the stacked-buffer
     # Pallas kernel (layer index via scalar prefetch) whenever the shapes
     # would pick the Pallas path anyway — per-layer slice operands make XLA
@@ -408,66 +382,92 @@ def model_forward(
         for fl, sb in zip(spec.level_filled, level_sb)
     )
 
-    if use_fused_cached:
-        level_ks = level_vs = [None]
-        level_lens = [active_levels[0].seq_lens]
-        uk = uv = None
-    else:
-        level_ks = [
-            (None, None) if shared_cached[i] else kv_view(lv.k, lv.k_scale, fl, rows=sb)
-            for i, (lv, fl, sb) in enumerate(
-                zip(active_levels, spec.level_filled, level_sb)
-            )
-        ]
-        level_vs = [
-            (None, None) if shared_cached[i] else kv_view(lv.v, lv.v_scale, fl, rows=sb)
-            for i, (lv, fl, sb) in enumerate(
-                zip(active_levels, spec.level_filled, level_sb)
-            )
-        ]
-        level_lens = [lv.seq_lens[:sb] for lv, sb in zip(active_levels, level_sb)]
+    level_ks = [
+        (None, None) if shared_cached[i] else kv_view(lv.k, lv.k_scale, fl, rows=sb)
+        for i, (lv, fl, sb) in enumerate(
+            zip(active_levels, spec.level_filled, level_sb)
+        )
+    ]
+    level_vs = [
+        (None, None) if shared_cached[i] else kv_view(lv.v, lv.v_scale, fl, rows=sb)
+        for i, (lv, fl, sb) in enumerate(
+            zip(active_levels, spec.level_filled, level_sb)
+        )
+    ]
+    level_lens = [lv.seq_lens[:sb] for lv, sb in zip(active_levels, level_sb)]
 
-        if spec.unique_history:
-            if cache.unique_bits == 4:
-                # Token-planar int4: a [:filled] token slice would break
-                # the (j, j + S/2) byte pairing — pass the full packed
-                # buffer (and full-length scales); history_lens masks the
-                # unwritten tail exactly as padding is masked elsewhere.
-                def ukv_view4(payload, scale):
-                    return (payload[:, :b], scale[:, :b])
+    if spec.unique_history:
+        if cache.unique_bits == 4:
+            # Token-planar int4: a [:filled] token slice would break
+            # the (j, j + S/2) byte pairing — pass the full packed
+            # buffer (and full-length scales); history_lens masks the
+            # unwritten tail exactly as padding is masked elsewhere.
+            def ukv_view4(payload, scale):
+                return (payload[:, :b], scale[:, :b])
 
-                uk = ukv_view4(cache.unique_k, cache.unique_k_scale)
-                uv = ukv_view4(cache.unique_v, cache.unique_v_scale)
-            elif cache.unique_bshd:
-                # [L, B, U, hkv, hd]: slice rows and the token dim (dim 2).
-                def ukv_view(payload, scale):
-                    p = payload[:, :b, : spec.unique_filled]
-                    if scale is None:
-                        s = None
-                    elif cache.flat_scales:  # [L, B, S*hkv]
-                        s = scale[:, :b, : spec.unique_filled * nkv]
-                    else:
-                        s = scale[:, :b, : spec.unique_filled]
-                    return (p, s)
+            uk = ukv_view4(cache.unique_k, cache.unique_k_scale)
+            uv = ukv_view4(cache.unique_v, cache.unique_v_scale)
+        elif cache.unique_bshd:
+            # [L, B, U, hkv, hd]: slice rows and the token dim (dim 2).
+            def ukv_view(payload, scale):
+                p = payload[:, :b, : spec.unique_filled]
+                if scale is None:
+                    s = None
+                elif cache.flat_scales:  # [L, B, S*hkv]
+                    s = scale[:, :b, : spec.unique_filled * nkv]
+                else:
+                    s = scale[:, :b, : spec.unique_filled]
+                return (p, s)
 
-                uk = ukv_view(cache.unique_k, cache.unique_k_scale)
-                uv = ukv_view(cache.unique_v, cache.unique_v_scale)
-            else:
-                uk = kv_view(cache.unique_k, cache.unique_k_scale, spec.unique_filled, rows=b)
-                uv = kv_view(cache.unique_v, cache.unique_v_scale, spec.unique_filled, rows=b)
+            uk = ukv_view(cache.unique_k, cache.unique_k_scale)
+            uv = ukv_view(cache.unique_v, cache.unique_v_scale)
         else:
-            uk = uv = None
+            uk = kv_view(cache.unique_k, cache.unique_k_scale, spec.unique_filled, rows=b)
+            uv = kv_view(cache.unique_v, cache.unique_v_scale, spec.unique_filled, rows=b)
+    else:
+        uk = uv = None
 
     lp = params["layers"]
     has_bias = "bq" in lp
 
-    def qmm(x, w, subscripts):
-        return qmatmul(x, w, subscripts, impl=spec.matmul)
+    # Per-projection-family w8a8 routing, from the measured M=256 7B GEMM
+    # ladder (results/r3_measure/gemm.log): the s8 MXU GEMM wins only where
+    # N >> K (gate/up 100 vs 140 us incl. row quantize); square (q/k/v/o:
+    # 35 vs 50 us) and K-heavy (down: 153 vs 188 us) projections are faster
+    # on the weight-only dq path at decode M. HYDRAGEN_W8A8_FAMILIES
+    # overrides (comma list or "all"); read at trace time like the kernel
+    # tile knobs.
+    import os as _os
+
+    _w8a8_fams = frozenset(
+        _os.environ.get("HYDRAGEN_W8A8_FAMILIES", "gate,up").split(",")
+    )
+
+    def qmm(x, w, subscripts, family=None, li=None):
+        impl = spec.matmul
+        if (
+            impl == "w8a8"
+            and family is not None
+            and "all" not in _w8a8_fams
+            and family not in _w8a8_fams
+        ):
+            impl = "dq"
+        if impl in ("w8a8", "w4a8") and family is not None and li is not None:
+            # s8-GEMM paths read the STACKED weight with the layer index on
+            # scalar prefetch — per-layer slices would be copied whole to
+            # stage the pallas operand (OOM at 7B bs256, see
+            # ops/quant.py qmatmul_stacked).
+            from hydragen_tpu.ops.quant import qmatmul_stacked
+
+            return qmatmul_stacked(x, lp[family], li, subscripts, impl=impl)
+        return qmatmul(x, w, subscripts, impl=impl)
 
     # Decode-kernel eligibility: int8 BSHD unique cache with lane-major flat
     # scales, single-token queries, prefix-length masking (the ring pool's
     # wrapped windows stay on XLA), single chip. ``impl="xla"`` is the exact
     # escape hatch (the kernel re-quantizes q and p, ~0.5 % RMS noise).
+    from hydragen_tpu.ops.decode import decode_kernel_supported
+
     use_dec_kernel = (
         t == 1
         and cache.unique_bshd
@@ -477,6 +477,9 @@ def model_forward(
         and not spec.sharded
         and spec.impl != "xla"
         and cfg.head_dim % 128 == 0
+        # Mosaic scale-BlockSpec legality (round-3 sweep7b postmortem):
+        # a legal row batch must exist for this (rows, buffer-rows) pair.
+        and decode_kernel_supported(b, cache.unique_k.shape[1])
         and jax.default_backend() == "tpu"
     )
 
@@ -490,9 +493,9 @@ def model_forward(
         resid = h
         x = rms_norm(h, in_n, cfg.rms_norm_eps)
 
-        q = qmm(x, wq, "bth,hd->btd")
-        k = qmm(x, wk, "bth,hd->btd")
-        v = qmm(x, wv, "bth,hd->btd")
+        q = qmm(x, wq, "bth,hd->btd", family="wq", li=li)
+        k = qmm(x, wk, "bth,hd->btd", family="wk", li=li)
+        v = qmm(x, wv, "bth,hd->btd", family="wv", li=li)
         if has_bias:
             bq, bk, bv, bo = biases
             q, k, v = q + bq, k + bk, v + bv
@@ -509,132 +512,113 @@ def model_forward(
         else:
             attn = None
             outs, lses = [], []
-            if use_fused_cached:
-                from hydragen_tpu.ops.fused import fused_hydragen_decode_cached
+            if not spec.disable_hydragen:
+                for j, ((lk, lv_), lens) in enumerate(zip(lvl_kv, level_lens)):
+                    sb = level_sb[j]
+                    if shared_cached[j]:
+                        from hydragen_tpu.ops.flash import (
+                            flash_attention_cached_bhsd,
+                        )
 
-                level = cache.shared[0]
-                kv_quant = cache.unique_k_scale is not None
-                o, l = fused_hydragen_decode_cached(
-                    li, q, level.k, level.v, level_lens[0],
-                    cache.unique_k, cache.unique_v, history_lens,
-                    shared_scales=(
-                        (level.k_scale, level.v_scale) if kv_quant else None
-                    ),
-                    unique_scales=(
-                        (cache.unique_k_scale, cache.unique_v_scale)
-                        if kv_quant else None
-                    ),
-                )
-                outs.append(o)
-                lses.append(l)
-            else:
-                if not spec.disable_hydragen:
-                    for j, ((lk, lv_), lens) in enumerate(zip(lvl_kv, level_lens)):
-                        sb = level_sb[j]
-                        if shared_cached[j]:
-                            from hydragen_tpu.ops.flash import (
-                                flash_attention_cached_bhsd,
-                            )
-
-                            lvl = active_levels[j]
-                            bq_ = fold_queries_for_shared(q, sb)
-                            o, l = flash_attention_cached_bhsd(
-                                li, bq_, lvl.k, lvl.v, kv_seq_lens=lens,
-                                k_scale_all=lvl.k_scale,
-                                v_scale_all=lvl.v_scale,
-                            )
-                            outs.append(unfold_shared_out(o, b, t))
-                            lses.append(unfold_shared_lse(l, b, t))
-                            continue
-                        s_lvl = lk[0].shape[2]
-                        if _mesh_level_attn_ok(
-                            mesh, spec, b, nh, nkv, sb, s_lvl, t
-                        ):
-                            # shard_map'd Pallas kernel: fold + kernel run
-                            # per (dp, sp, tp) shard, exact LSE merge over
-                            # sp (parallel/shard_attn.py).
-                            from hydragen_tpu.parallel.shard_attn import (
-                                sharded_level_attention,
-                            )
-
-                            o, l = sharded_level_attention(
-                                q, lk, lv_, lens, mesh=mesh
-                            )
-                            outs.append(o)
-                            lses.append(l)
-                            continue
+                        lvl = active_levels[j]
                         bq_ = fold_queries_for_shared(q, sb)
-                        # (payload, scale) pairs pass through: the Pallas
-                        # kernels dequantize in-register; XLA fuses the
-                        # up-front dequant into the einsum operand read.
-                        o, l = _attention(
-                            bq_, lk, lv_, causal=False,
-                            kv_seq_lens=lens, impl=impl,
+                        o, l = flash_attention_cached_bhsd(
+                            li, bq_, lvl.k, lvl.v, kv_seq_lens=lens,
+                            k_scale_all=lvl.k_scale,
+                            v_scale_all=lvl.v_scale,
                         )
                         outs.append(unfold_shared_out(o, b, t))
                         lses.append(unfold_shared_lse(l, b, t))
-                if ukv is not None:
-                    uks = ukv[0][1]
-                    uvs = ukv[1][1]
-                    if (
-                        use_dec_kernel
-                        and uks is not None
-                        and t == 1
+                        continue
+                    s_lvl = lk[0].shape[2]
+                    if _mesh_level_attn_ok(
+                        mesh, spec, b, nh, nkv, sb, s_lvl, t
                     ):
-                        # Int8 MXU decode kernel reading straight out of the
-                        # stacked cache buffers (layer picked by scalar
-                        # prefetch): feeding per-layer slices instead made
-                        # XLA materialize the whole 67 MB slice per operand
-                        # per layer (~13 ms/step at 7B bs256).
-                        from hydragen_tpu.ops.decode import (
-                            decode_attention_cached,
+                        # shard_map'd Pallas kernel: fold + kernel run
+                        # per (dp, sp, tp) shard, exact LSE merge over
+                        # sp (parallel/shard_attn.py).
+                        from hydragen_tpu.parallel.shard_attn import (
+                            sharded_level_attention,
                         )
 
-                        # Fused epilogue: this step's own-token KV rides in
-                        # as one extra softmax column per row and the shared
-                        # partial(s) merge via LSE at emit — the kernel
-                        # emits the FINAL attention, dropping combine_lse
-                        # (its 3-partial merge relayed each partial out in
-                        # f32 every layer, xplane-verified) and the analytic
-                        # own-token partial from the decode step.
-                        if len(outs) > 1:
-                            sh = combine_lse_with_stats(outs, lses)
-                        elif outs:
-                            sh = (outs[0], lses[0])
-                        else:
-                            sh = None
-                        attn, _ = decode_attention_cached(
-                            li, q, cache.unique_k, cache.unique_v,
-                            kv_seq_lens=history_lens,
-                            k_scale_all=cache.unique_k_scale,
-                            v_scale_all=cache.unique_v_scale,
-                            own_kv=(k, v),
-                            shared_partial=sh,
-                            kv_bits=cache.unique_bits,
-                        )
-                    else:
-                        if uks is not None and cache.flat_scales:
-                            # Per-layer flat slice [b, U*nkv] -> the XLA
-                            # path's [b, U, nkv] view. int4 views carry the
-                            # full allocated window (see ukv_view4).
-                            U = (
-                                cache.max_unique_seq_len
-                                if cache.unique_bits == 4
-                                else spec.unique_filled
-                            )
-                            uks = uks.reshape(b, U, nkv)
-                            uvs = uvs.reshape(b, U, nkv)
-                        o, l = _attention(
-                            q, (ukv[0][0], uks) if uks is not None else ukv[0],
-                            (ukv[1][0], uvs) if uvs is not None else ukv[1],
-                            causal=False,
-                            kv_seq_lens=None if history_mask is not None else history_lens,
-                            kv_mask=history_mask, impl=impl,
-                            kv_bshd=cache.unique_bshd,
-                            kv_bits=cache.unique_bits,
+                        o, l = sharded_level_attention(
+                            q, lk, lv_, lens, mesh=mesh
                         )
                         outs.append(o)
                         lses.append(l)
+                        continue
+                    bq_ = fold_queries_for_shared(q, sb)
+                    # (payload, scale) pairs pass through: the Pallas
+                    # kernels dequantize in-register; XLA fuses the
+                    # up-front dequant into the einsum operand read.
+                    o, l = _attention(
+                        bq_, lk, lv_, causal=False,
+                        kv_seq_lens=lens, impl=impl,
+                    )
+                    outs.append(unfold_shared_out(o, b, t))
+                    lses.append(unfold_shared_lse(l, b, t))
+            if ukv is not None:
+                uks = ukv[0][1]
+                uvs = ukv[1][1]
+                if (
+                    use_dec_kernel
+                    and uks is not None
+                    and t == 1
+                ):
+                    # Int8 MXU decode kernel reading straight out of the
+                    # stacked cache buffers (layer picked by scalar
+                    # prefetch): feeding per-layer slices instead made
+                    # XLA materialize the whole 67 MB slice per operand
+                    # per layer (~13 ms/step at 7B bs256).
+                    from hydragen_tpu.ops.decode import (
+                        decode_attention_cached,
+                    )
+
+                    # Fused epilogue: this step's own-token KV rides in
+                    # as one extra softmax column per row and the shared
+                    # partial(s) merge via LSE at emit — the kernel
+                    # emits the FINAL attention, dropping combine_lse
+                    # (its 3-partial merge relayed each partial out in
+                    # f32 every layer, xplane-verified) and the analytic
+                    # own-token partial from the decode step.
+                    if len(outs) > 1:
+                        sh = combine_lse_with_stats(outs, lses)
+                    elif outs:
+                        sh = (outs[0], lses[0])
+                    else:
+                        sh = None
+                    attn, _ = decode_attention_cached(
+                        li, q, cache.unique_k, cache.unique_v,
+                        kv_seq_lens=history_lens,
+                        k_scale_all=cache.unique_k_scale,
+                        v_scale_all=cache.unique_v_scale,
+                        own_kv=(k, v),
+                        shared_partial=sh,
+                        kv_bits=cache.unique_bits,
+                    )
+                else:
+                    if uks is not None and cache.flat_scales:
+                        # Per-layer flat slice [b, U*nkv] -> the XLA
+                        # path's [b, U, nkv] view. int4 views carry the
+                        # full allocated window (see ukv_view4).
+                        U = (
+                            cache.max_unique_seq_len
+                            if cache.unique_bits == 4
+                            else spec.unique_filled
+                        )
+                        uks = uks.reshape(b, U, nkv)
+                        uvs = uvs.reshape(b, U, nkv)
+                    o, l = _attention(
+                        q, (ukv[0][0], uks) if uks is not None else ukv[0],
+                        (ukv[1][0], uvs) if uvs is not None else ukv[1],
+                        causal=False,
+                        kv_seq_lens=None if history_mask is not None else history_lens,
+                        kv_mask=history_mask, impl=impl,
+                        kv_bshd=cache.unique_bshd,
+                        kv_bits=cache.unique_bits,
+                    )
+                    outs.append(o)
+                    lses.append(l)
             # Causal self-attention over the current input's KV (skipped
             # when the decode kernel already merged the own token).
             if attn is not None:
@@ -667,18 +651,18 @@ def model_forward(
                 attn = combine_lse(outs, lses)
 
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
-        attn = qmm(attn, wo, "btd,dh->bth")
+        attn = qmm(attn, wo, "btd,dh->bth", family="wo", li=li)
         if has_bias:
             attn = attn + biases[3]
         h = resid + attn
 
         resid = h
         x = rms_norm(h, post_n, cfg.rms_norm_eps)
-        g = qmm(x, gate, "bth,hi->bti")
-        u = qmm(x, up, "bth,hi->bti")
+        g = qmm(x, gate, "bth,hi->bti", family="gate", li=li)
+        u = qmm(x, up, "bth,hi->bti", family="up", li=li)
         m = qmm(
             jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, down,
-            "bti,ih->bth",
+            "bti,ih->bth", family="down", li=li,
         )
         h = resid + m
 
@@ -695,7 +679,7 @@ def model_forward(
         lp["gate"], lp["up"], lp["down"],
         lp["input_norm"], lp["post_attn_norm"],
         biases,
-        tuple(zip(level_ks, level_vs)) if not use_fused_cached else ((None, None),),
+        tuple(zip(level_ks, level_vs)),
         (uk, uv) if uk is not None else None,
     )
 
@@ -726,10 +710,16 @@ def model_forward(
     # reads weights through a dynamic-slice, which blocks that). bf16 decode
     # and prefill keep the rolled scan — measured faster there, and
     # compilation is 24x cheaper.
-    from hydragen_tpu.ops.quant import is_quantized_weight
+    from hydragen_tpu.ops.quant import Quantized4Tensor, is_quantized_weight
 
     quantized = is_quantized_weight(lp["wq"])
-    unroll = cfg.num_hidden_layers if (t == 1 and quantized) else 1
+    # int4 weights under the dq fallback keep the ROLLED scan: each layer's
+    # plane-dequant emits ~45 MB bf16 transients per projection, and an
+    # unrolled loop lets XLA keep many layers' transients alive at once
+    # (HBM OOM at 7B bs256, results/r3_measure/bench_int4.log). The w4a8
+    # kernel path reads the packed payload directly and keeps the unroll.
+    int4_dq = isinstance(lp["wq"], Quantized4Tensor) and spec.matmul != "w4a8"
+    unroll = cfg.num_hidden_layers if (t == 1 and quantized and not int4_dq) else 1
     h, (new_k, new_v) = jax.lax.scan(layer, h, xs, unroll=unroll)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     return h, new_k, new_v

@@ -270,8 +270,14 @@ def qmatmul(x: jax.Array, w, subscripts: str, impl: str = "dq") -> jax.Array:
             swapped = _swap_weight_term(subscripts)
 
             def plane(p, g0):
-                gs = w.gscale[g0:g0 + G // 2].astype(jnp.float32)  # [G/2, N]
-                wf = p.astype(jnp.float32).reshape(N, G // 2, g)
+                # Dequantize in bf16: int4 values and bf16 group scales are
+                # both exact in bf16, so this costs <0.4 % rounding on the
+                # product — while an f32 chain materializes 90 MB fp32 plane
+                # temps per 7B projection, which OOMed the 16 GB chip under
+                # the unrolled decode scan (results/r3_measure/bench_int4).
+                dt = x.dtype if x.dtype != jnp.float32 else jnp.float32
+                gs = w.gscale[g0:g0 + G // 2].astype(dt)  # [G/2, N]
+                wf = p.astype(dt).reshape(N, G // 2, g)
                 wf = wf * jnp.swapaxes(gs, 0, 1)[:, :, None]
                 return wf.reshape(N, Kp).astype(x.dtype)
 
@@ -308,6 +314,73 @@ def qmatmul(x: jax.Array, w, subscripts: str, impl: str = "dq") -> jax.Array:
         # copies per projection per decode step at 7B bs256).
         return y * w.scale.astype(x.dtype)[None, None, :]
     return jnp.einsum(subscripts, x, w)
+
+
+def qmatmul_stacked(x, w_stacked, layer, subscripts: str, impl: str = "dq"):
+    """Layer-indexed einsum over STACKED ``[L, ...]`` maybe-quantized weights.
+
+    For impl="w8a8"/"w4a8" this routes to the *_cached Pallas GEMMs
+    (ops/gemm.py): the layer index rides scalar prefetch into the weight
+    BlockSpec, so the kernel reads straight out of the stacked buffer.
+    Feeding per-layer *slices* to the plain GEMMs instead makes XLA copy
+    each layer's whole payload to stage the pallas operand — under the
+    unrolled 7B decode loop the latency-hiding scheduler kept many ~45 MB
+    copies alive and OOMed the 16 GB chip (round-4 bench_w8a8 postmortem).
+    Ineligible shapes/impls fall back to slice + :func:`qmatmul` (the
+    slice feeds an einsum, which XLA reads in place — no copy)."""
+    if (
+        impl == "w8a8"
+        and isinstance(w_stacked, QuantizedTensor)
+        and w_stacked.q.ndim == 3
+    ):
+        L, N, K = w_stacked.q.shape
+        blocks = _w8a8_blocks(N, K)
+        interpret = None
+        if jax.default_backend() != "tpu":
+            import os
+
+            interpret = bool(os.environ.get("HYDRAGEN_W8A8_INTERPRET"))
+        if blocks is not None and x.shape[-1] == K and interpret is not False:
+            from hydragen_tpu.ops.gemm import quantize_rows, w8a8_matmul_cached
+
+            lead = x.shape[:-1]
+            a_q, a_s = quantize_rows(x.reshape(-1, K))
+            y = w8a8_matmul_cached(
+                layer, a_q, a_s, w_stacked.q, w_stacked.scale,
+                block_n=blocks[0], block_k=blocks[1], out_dtype=x.dtype,
+                interpret=interpret,
+            )
+            return y.reshape(*lead, N)
+    if (
+        impl == "w4a8"
+        and isinstance(w_stacked, Quantized4Tensor)
+        and w_stacked.qp.ndim == 3
+    ):
+        L, N, Kp = w_stacked.qp.shape
+        K = 2 * Kp
+        blocks = _w4a8_blocks(N, K, w_stacked.group_size)
+        interpret = None
+        if jax.default_backend() != "tpu":
+            import os
+
+            interpret = bool(os.environ.get("HYDRAGEN_W8A8_INTERPRET"))
+        if blocks is not None and x.shape[-1] == K and interpret is not False:
+            from hydragen_tpu.ops.gemm import quantize_rows, w4a8_matmul_cached
+
+            lead = x.shape[:-1]
+            a_q, a_s = quantize_rows(x.reshape(-1, K))
+            y = w4a8_matmul_cached(
+                layer, a_q, a_s, w_stacked.qp, w_stacked.gscale,
+                block_n=blocks[0], block_kp=blocks[1], out_dtype=x.dtype,
+                interpret=interpret,
+            )
+            return y.reshape(*lead, N)
+    w_sliced = (
+        jax.tree.map(lambda a: a[layer], w_stacked)
+        if is_quantized_weight(w_stacked)
+        else w_stacked[layer]
+    )
+    return qmatmul(x, w_sliced, subscripts, impl=impl)
 
 
 # --- KV-cache quantization -------------------------------------------------
