@@ -422,8 +422,14 @@ def flash_attention_bhsd(
         )
     Mp = _round_up(M, block_m)
     if block_k is None:
+        # Long-KV streams amortize per-block VPU/DMA overhead with a bigger
+        # K tile: 1.3B bs256 decode at 16K prefix measured 17.3 ms/step
+        # (block_k=1024) vs 22.4 ms (512) vs 33.1 ms (256) —
+        # results/r3_measure/flat16k_bk*.log. Short streams keep the
+        # round-2 tuning point (512).
+        _cap = 1024 if s >= 8192 else 512
         block_k = _env_block("HYDRAGEN_FLASH_BLOCK_K") or min(
-            512, max(LANES, _round_up(min(s, 512), LANES))
+            _cap, max(LANES, _round_up(min(s, _cap), LANES))
         )
     num_kv_blocks = -(-s // block_k)
 
@@ -460,7 +466,12 @@ def flash_attention_bhsd(
         R = next((r for r in (16, 8, 4, 2, 1) if B % r == 0), 1)
         if R > 1:
             mp_dec = _round_up(M, 8)
-            bk_dec = block_k  # always defaulted above (env override incl.)
+            # Keep R-row K+V blocks (double-buffered) within scoped VMEM:
+            # the long-S 1024 default above is sized for the 1-row generic
+            # kernel, not R-row blocks.
+            itemsize = 1 if quantized else 2
+            bk_cap = (6 << 20) // max(2 * 2 * R * dp * itemsize, 1)
+            bk_dec = max(LANES, (min(block_k, bk_cap) // LANES) * LANES)
             return _flash_decode_call(
                 qf, k, v, lens, hkv=hkv, group=group, m=m, mp=mp_dec,
                 rows=R, block_k=bk_dec, dp=dp, d=d, scale=scale,
@@ -718,8 +729,14 @@ def flash_attention_cached_bhsd(
         )
     Mp = _round_up(M, block_m)
     if block_k is None:
+        # Long-KV streams amortize per-block VPU/DMA overhead with a bigger
+        # K tile: 1.3B bs256 decode at 16K prefix measured 17.3 ms/step
+        # (block_k=1024) vs 22.4 ms (512) vs 33.1 ms (256) —
+        # results/r3_measure/flat16k_bk*.log. Short streams keep the
+        # round-2 tuning point (512).
+        _cap = 1024 if s >= 8192 else 512
         block_k = _env_block("HYDRAGEN_FLASH_BLOCK_K") or min(
-            512, max(LANES, _round_up(min(s, 512), LANES))
+            _cap, max(LANES, _round_up(min(s, _cap), LANES))
         )
     num_kv_blocks = -(-s // block_k)
 
