@@ -10,8 +10,8 @@ Math: for partials ``o_i`` with ``lse_i``,
 
 The default path is plain ``jnp`` — XLA fuses this elementwise reduction into
 a single VPU pass, so unlike the CUDA reference no hand-written kernel is
-needed for the standalone op. A fused Pallas epilogue variant lives in the
-decode kernel path (``ops/flash.py``) where it saves an HBM round-trip.
+needed for the standalone op. A fused in-kernel merge variant lives in the
+cached decode kernel (``ops/decode.py``) where it saves an HBM round-trip.
 """
 
 from __future__ import annotations

@@ -85,7 +85,7 @@ def _attention(q, k, v, *, causal, kv_seq_lens, impl, kv_mask=None,
         # packed payloads (ops/quant.quantize_kv4 + cache write paths)
         # exist only on the XLA path (the Pallas kernels dequantize int8).
         impl = "xla"
-    elif impl in ("auto", "fused"):  # "fused" only changes the decode layer path
+    elif impl == "auto":
         M, s = q.shape[2], k.shape[2]
         impl = "pallas" if pallas_wins(M, s) else "xla"
     if impl == "xla":

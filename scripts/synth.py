@@ -149,10 +149,8 @@ def main():
                    "skips the dequant VPU pass at every read)")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--impl", default=None,
-                   choices=(None, "auto", "xla", "pallas", "fused"),
-                   help="attention impl override (engine default: auto); "
-                   "'fused' = the single-launch shared++unique decode kernel "
-                   "(ops/fused.py) — the win-or-delete experiment")
+                   choices=(None, "auto", "xla", "pallas"),
+                   help="attention impl override (engine default: auto)")
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--measure-prefill", action="store_true")

@@ -97,23 +97,6 @@ def test_w8a8_gemm_lowers():
     )
 
 
-def test_fused_cached_lowers():
-    from hydragen_tpu.ops.fused import fused_hydragen_decode_cached
-
-    L, sb, hkv, S, d, b, hq, U = 2, 1, 8, 256, 128, 8, 8, 64
-    q = jnp.zeros((b, hq, 1, d), jnp.bfloat16)
-    sk = jnp.zeros((L, sb, hkv, S, d), jnp.bfloat16)
-    uk = jnp.zeros((L, b, hkv, U, d), jnp.bfloat16)
-    slens = jnp.full((sb,), S, jnp.int32)
-    ulens = jnp.full((b,), 32, jnp.int32)
-    _lower(
-        lambda li, q, sk, sv, sl, uk, uv, ul: fused_hydragen_decode_cached(
-            li, q, sk, sv, sl, uk, uv, ul, interpret=False,
-        ),
-        jnp.int32(0), q, sk, sk, slens, uk, uk, ulens,
-    )
-
-
 def test_w4a8_gemm_lowers():
     from hydragen_tpu.ops.gemm import w4a8_matmul
 
@@ -125,6 +108,36 @@ def test_w4a8_gemm_lowers():
         lambda a, s, w, g: w4a8_matmul(a, s, w, g, block_n=256,
                                        block_kp=256, interpret=False),
         aq, asc, wqp, gs,
+    )
+
+
+def test_w8a8_gemm_cached_lowers():
+    from hydragen_tpu.ops.gemm import w8a8_matmul_cached
+
+    aq = jnp.zeros((256, 4096), jnp.int8)
+    asc = jnp.zeros((256, 1), jnp.float32)
+    w_all = jnp.zeros((4, 4096, 4096), jnp.int8)
+    ws_all = jnp.zeros((4, 4096), jnp.bfloat16)
+    _lower(
+        lambda li, a, s, w, g: w8a8_matmul_cached(
+            li, a, s, w, g, block_n=512, block_k=1024, interpret=False,
+        ),
+        jnp.int32(1), aq, asc, w_all, ws_all,
+    )
+
+
+def test_w4a8_gemm_cached_lowers():
+    from hydragen_tpu.ops.gemm import w4a8_matmul_cached
+
+    aq = jnp.zeros((256, 1024), jnp.int8)
+    asc = jnp.zeros((256, 1), jnp.float32)
+    wp_all = jnp.zeros((4, 512, 512), jnp.int8)   # K=1024 packed
+    gs_all = jnp.zeros((4, 8, 512), jnp.bfloat16)  # group 128
+    _lower(
+        lambda li, a, s, w, g: w4a8_matmul_cached(
+            li, a, s, w, g, block_n=256, block_kp=256, interpret=False,
+        ),
+        jnp.int32(2), aq, asc, wp_all, gs_all,
     )
 
 

@@ -149,7 +149,6 @@ def test_sharded_dispatch_forces_xla():
     )
     assert resolve_forward_impl(ForwardSpec(**base, impl="auto", sharded=True)) == "xla"
     assert resolve_forward_impl(ForwardSpec(**base, impl="pallas", sharded=True)) == "xla"
-    assert resolve_forward_impl(ForwardSpec(**base, impl="fused", sharded=True)) == "xla"
     assert resolve_forward_impl(ForwardSpec(**base, impl="pallas", sharded=False)) == "pallas"
     assert resolve_forward_impl(ForwardSpec(**base, impl="xla", sharded=True)) == "xla"
 
