@@ -135,6 +135,111 @@ def w8a8_matmul(
     return out[:M]
 
 
+def _w8a8_cached_kernel(
+    li_ref,      # scalar prefetch: [1] int32 layer index
+    a_ref,       # [block_m, block_k] s8
+    w_ref,       # [1, block_n, block_k] s8 — one layer's tile of [L, N, K]
+    rs_ref,      # [block_m, 1] f32 row scales
+    cs_ref,      # [1, 1, block_n] f32 col scales
+    o_ref,       # [block_m, block_n] out dtype
+    acc_scr,     # [block_m, block_n] i32
+    *,
+    num_k_blocks: int,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    acc_scr[...] += jax.lax.dot_general(
+        a_ref[...], w_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _emit():
+        o_ref[...] = (
+            acc_scr[...].astype(jnp.float32) * rs_ref[...] * cs_ref[0]
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype",
+                     "interpret"),
+)
+def w8a8_matmul_cached(
+    layer: jax.Array,         # scalar int32 layer index (scalar prefetch)
+    a_q: jax.Array,           # [M, K] s8 activations (quantize_rows)
+    a_scale: jax.Array,       # [M, 1] f32
+    w_all: jax.Array,         # [L, N, K] s8 stacked weights (engine storage)
+    w_scale_all: jax.Array,   # [L, N] per-(layer, out-channel) scales
+    *,
+    block_m: int | None = None,
+    block_n: int = 512,
+    block_k: int = 1024,
+    out_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+):
+    """``a @ w_all[layer]^T`` reading straight out of the STACKED weight
+    buffer — the layer index rides scalar prefetch into the BlockSpec index
+    maps, so no per-layer slice is ever materialized. Feeding per-layer
+    slices to ``w8a8_matmul`` instead makes XLA copy each layer's whole
+    payload to stage the pallas operand; under the unrolled 7B decode loop
+    the latency-hiding scheduler kept many such ~45 MB copies alive and
+    OOMed the 16 GB chip (round-4 bench_w8a8 postmortem)."""
+    M, K = a_q.shape
+    L, N, K2 = w_all.shape
+    assert K == K2, (a_q.shape, w_all.shape)
+    assert a_q.dtype == jnp.int8 and w_all.dtype == jnp.int8
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if block_m is None:
+        block_m = min(256, _round_up(M, 8))
+    block_n = min(block_n, _round_up(N, LANES))
+    block_k = min(block_k, _round_up(K, LANES))
+    Mp = _round_up(M, block_m)
+    assert N % block_n == 0 and K % block_k == 0, (
+        f"N={N} K={K} must tile by ({block_n}, {block_k})"
+    )
+
+    ap = jnp.pad(a_q, ((0, Mp - M), (0, 0)))
+    rs = jnp.pad(a_scale.astype(jnp.float32), ((0, Mp - M), (0, 0)))
+    cs = w_scale_all.astype(jnp.float32).reshape(L, 1, N)
+    li = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    grid = (Mp // block_m, N // block_n, K // block_k)
+    out = pl.pallas_call(
+        functools.partial(_w8a8_cached_kernel, num_k_blocks=grid[2]),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_k),
+                             lambda mi, ni, ki, li_ref: (mi, ki)),
+                pl.BlockSpec((1, block_n, block_k),
+                             lambda mi, ni, ki, li_ref: (li_ref[0], ni, ki)),
+                pl.BlockSpec((block_m, 1),
+                             lambda mi, ni, ki, li_ref: (mi, 0)),
+                pl.BlockSpec((1, 1, block_n),
+                             lambda mi, ni, ki, li_ref: (li_ref[0], 0, ni)),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_m, block_n), lambda mi, ni, ki, li_ref: (mi, ni)
+            ),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(li, ap, w_all, rs, cs)
+    return out[:M]
+
+
 def w8a8_reference(a_q, a_scale, w_q, w_scale, out_dtype=jnp.bfloat16):
     """f32 oracle for the kernel (exact: int8 values are exact in f32)."""
     acc = jnp.einsum(
@@ -281,6 +386,129 @@ def w4a8_matmul(
         ),
         interpret=interpret,
     )(ap, ap, w_qp, rs, gs)
+    return out[:M]
+
+
+def _w4a8_cached_kernel(
+    li_ref,      # scalar prefetch: [1] int32 layer index
+    a_lo_ref,    # [block_m, block_kp] s8
+    a_hi_ref,    # [block_m, block_kp] s8
+    wp_ref,      # [1, block_n, block_kp] s8 — one layer's packed tile
+    rs_ref,      # [block_m, 1] f32
+    gs_ref,      # [1, G, block_n] f32 — this layer's group scales
+    o_ref,       # [block_m, block_n]
+    acc_scr,     # [block_m, block_n] f32
+    *,
+    num_k_blocks: int,
+    group: int,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    w32 = wp_ref[0].astype(jnp.int32)
+    planes = (
+        (a_lo_ref, 0, ((w32 << 28) >> 28).astype(jnp.int8)),
+        (a_hi_ref, gs_ref.shape[1] // 2, (w32 >> 4).astype(jnp.int8)),
+    )
+    bkp = wp_ref.shape[2]
+    gpb = bkp // group
+    for a_ref, plane_group0, w in planes:
+        for g in range(gpb):
+            part = jax.lax.dot_general(
+                a_ref[:, g * group:(g + 1) * group],
+                w[:, g * group:(g + 1) * group],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            row = plane_group0 + ki * gpb + g
+            gs_row = gs_ref[0, pl.dslice(row, 1), :]
+            acc_scr[...] += part.astype(jnp.float32) * gs_row
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _emit():
+        o_ref[...] = (acc_scr[...] * rs_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_kp", "out_dtype",
+                     "interpret"),
+)
+def w4a8_matmul_cached(
+    layer: jax.Array,          # scalar int32 (scalar prefetch)
+    a_q: jax.Array,            # [M, K] s8 activations
+    a_scale: jax.Array,        # [M, 1] f32
+    w_qp_all: jax.Array,       # [L, N, K//2] s8 planar-packed int4
+    w_gscale_all: jax.Array,   # [L, G, N] group scales
+    *,
+    block_m: int | None = None,
+    block_n: int = 512,
+    block_kp: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+):
+    """Stacked-weight variant of :func:`w4a8_matmul` (layer index on scalar
+    prefetch — see :func:`w8a8_matmul_cached` for why slices are poison)."""
+    M, K = a_q.shape
+    L, N, Kp = w_qp_all.shape
+    assert K == 2 * Kp, (a_q.shape, w_qp_all.shape)
+    assert a_q.dtype == jnp.int8 and w_qp_all.dtype == jnp.int8
+    L2, G, N2 = w_gscale_all.shape
+    assert L2 == L and N2 == N and K % G == 0, (w_gscale_all.shape, K, N)
+    group = K // G
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if block_m is None:
+        block_m = min(256, _round_up(M, 8))
+    block_n = min(block_n, _round_up(N, LANES))
+    block_kp = min(block_kp, _round_up(Kp, LANES))
+    Mp = _round_up(M, block_m)
+    assert N % block_n == 0 and Kp % block_kp == 0, (
+        f"N={N} Kp={Kp} must tile by ({block_n}, {block_kp})"
+    )
+    assert block_kp % group == 0 and group % LANES == 0, (
+        f"group {group} must divide block_kp {block_kp} and tile lanes"
+    )
+
+    ap = jnp.pad(a_q, ((0, Mp - M), (0, 0)))
+    rs = jnp.pad(a_scale.astype(jnp.float32), ((0, Mp - M), (0, 0)))
+    gs = w_gscale_all.astype(jnp.float32)
+    li = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    kb = Kp // block_kp
+    grid = (Mp // block_m, N // block_n, kb)
+    out = pl.pallas_call(
+        functools.partial(_w4a8_cached_kernel, num_k_blocks=kb, group=group),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, block_kp),
+                             lambda mi, ni, ki, li_ref: (mi, ki)),
+                pl.BlockSpec((block_m, block_kp),
+                             lambda mi, ni, ki, li_ref: (mi, kb + ki)),
+                pl.BlockSpec((1, block_n, block_kp),
+                             lambda mi, ni, ki, li_ref: (li_ref[0], ni, ki)),
+                pl.BlockSpec((block_m, 1),
+                             lambda mi, ni, ki, li_ref: (mi, 0)),
+                pl.BlockSpec((1, G, block_n),
+                             lambda mi, ni, ki, li_ref: (li_ref[0], 0, ni)),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_m, block_n), lambda mi, ni, ki, li_ref: (mi, ni)
+            ),
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(li, ap, ap, w_qp_all, rs, gs)
     return out[:M]
 
 

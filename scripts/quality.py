@@ -149,6 +149,14 @@ def run(preset: str, tokens: int, batch: int, seed: int = 0,
         import os
 
         os.environ["HYDRAGEN_W8A8_INTERPRET"] = "1"
+    if quantization == "w8a8":
+        # The engine's default routes only the measured-faster families
+        # (gate/up) through the s8 GEMM (models/llama.py qmm); the gate
+        # bounds the WORST case — every eligible family quantized — which
+        # is a superset of any deployed family mix's noise.
+        import os
+
+        os.environ["HYDRAGEN_W8A8_FAMILIES"] = "all"
     lo = HydragenLlama(cfg, quantizer(params), quantization=quantization)
     logits_lo = eval_logits(lo, ids)
 

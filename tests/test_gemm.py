@@ -70,12 +70,62 @@ def _forced_logits(cfg, params, quantization, prompt, overrides):
     return [np.asarray(l) for l in logits]
 
 
+def test_w8a8_matmul_cached_layer_select():
+    """The stacked-weight GEMM (layer index via scalar prefetch) must equal
+    the per-layer w8a8 reference on exactly the requested layer."""
+    from hydragen_tpu.ops.gemm import quantize_rows, w8a8_matmul_cached
+
+    rng = np.random.RandomState(4)
+    L, M, K, N = 3, 24, 256, 256
+    x = jnp.asarray(rng.randn(M, K), jnp.float32)
+    w_all = jnp.asarray(rng.randint(-127, 128, (L, N, K)), jnp.int8)
+    ws_all = jnp.asarray(rng.rand(L, N) * 0.02 + 1e-3, jnp.float32)
+    a_q, a_s = quantize_rows(x)
+    for li in (0, 2):
+        out = w8a8_matmul_cached(
+            jnp.int32(li), a_q, a_s, w_all, ws_all,
+            block_n=128, block_k=128, out_dtype=jnp.float32, interpret=True,
+        )
+        ref = w8a8_reference(a_q, a_s, w_all[li], ws_all[li],
+                             out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8_matmul_cached_layer_select():
+    from hydragen_tpu.ops.gemm import (
+        quantize_rows, w4a8_matmul_cached, w4a8_reference,
+    )
+    from hydragen_tpu.ops.quant import pack4
+
+    rng = np.random.RandomState(5)
+    L, M, K, N, G = 3, 16, 512, 256, 4  # group 128
+    x = jnp.asarray(rng.randn(M, K), jnp.float32)
+    q4 = jnp.asarray(rng.randint(-7, 8, (L, N, K)), jnp.int8)
+    wp_all = pack4(q4)
+    gs_all = jnp.asarray(rng.rand(L, G, N) * 0.05 + 1e-3, jnp.float32)
+    a_q, a_s = quantize_rows(x)
+    for li in (0, 1):
+        out = w4a8_matmul_cached(
+            jnp.int32(li), a_q, a_s, wp_all, gs_all,
+            block_n=128, block_kp=128, out_dtype=jnp.float32, interpret=True,
+        )
+        ref = w4a8_reference(a_q, a_s, wp_all[li], gs_all[li],
+                             out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_w8a8_engine_e2e(monkeypatch):
     """Engine quantization="w8a8" routes layer matmuls through the Pallas
     s8 GEMM (interpret mode on CPU via HYDRAGEN_W8A8_INTERPRET); its logits
     along a forced token stream stay within per-row activation-quant noise
     of the weight-only int8 engine's."""
     monkeypatch.setenv("HYDRAGEN_W8A8_INTERPRET", "1")
+    # Route EVERY family through the s8 kernel (the engine default keeps
+    # only the measured-faster gate/up there) so the test exercises the
+    # full w8a8 path.
+    monkeypatch.setenv("HYDRAGEN_W8A8_FAMILIES", "all")
     from hydragen_tpu.models.config import ModelConfig
     from hydragen_tpu.models.llama import init_params
 
