@@ -303,7 +303,9 @@ class ContinuousBatcher:
         top_p: Optional[float] = None,
         eos_token_id: Optional[int] = None,
         seed: int = 0,
+        admit_policy: str = "fifo",
     ):
+        assert admit_policy in ("fifo", "lpt")
         assert engine.cache is not None, "call setup_caches first"
         assert engine.cache.unique_bits == 8, (
             "ContinuousBatcher needs kv_quant in (None, 'int8'): the ring "
@@ -329,6 +331,12 @@ class ContinuousBatcher:
         self.engine = engine
         self.chunk = chunk
         self.bucket = bucket
+        # "lpt": longest-budget-first admission. Rows advance in lockstep
+        # chunks, so a short request admitted beside long ones burns
+        # (chunk - budget) masked steps; starting long requests first aligns
+        # finish times and cuts drain makespan (classic LPT). "fifo" keeps
+        # strict arrival order (lower tail latency for interactive serving).
+        self.admit_policy = admit_policy
         self.temperature = temperature
         self.top_p = top_p
         self.eos = -1 if eos_token_id is None else int(eos_token_id)
@@ -551,15 +559,38 @@ class ContinuousBatcher:
         for r in self._free_rows():
             free_by_group.setdefault(self._row_group(r), []).append(r)
         kept = []
-        for req in self._queue:
+        order = self._queue
+        if self.admit_policy == "lpt":
+            # Stable sort: ties keep arrival order.
+            order = sorted(
+                self._queue, key=lambda req: -req.max_new_tokens
+            )
+        taken = set()
+        for req in order:
             rows = free_by_group.get(req.group)
             if rows:
                 pairs.append((rows.pop(0), req))
-            else:
-                kept.append(req)
+                taken.add(req.rid)
+        kept = [req for req in self._queue if req.rid not in taken]
         self._queue = kept
         if pairs:
             self._admit_batch(pairs)
+
+        # Tail shrink: once the queue is drained, a chunk longer than every
+        # live row's remaining budget only computes masked garbage — halve
+        # down a power-of-two ladder (>= 8 to amortize dispatch RTT; the few
+        # extra jit entries are compile-cached). len(req.tokens) lags the
+        # pending chunk, so the host-side bound only over-estimates (safe).
+        steps = self.chunk
+        if not self._queue:
+            live_rem = [
+                req.max_new_tokens - len(req.tokens)
+                for req in self._rows.values()
+                if req is not None and not req.done
+            ]
+            bound = max(live_rem, default=steps)
+            while steps >= 16 and steps // 2 >= bound:
+                steps //= 2
 
         eng = self.engine
         spec = eng._spec("decode", unique_history=True)
@@ -567,7 +598,7 @@ class ContinuousBatcher:
         fresh, self._fresh_rows = self._fresh_rows, []
         toks, new_state, eng.cache, self.rng = _decode_chunk(
             eng.params, eng.cache, self.state, self.rng, eng.config, spec,
-            self.chunk, self.temperature, self.top_p, self.eos,
+            steps, self.temperature, self.top_p, self.eos,
         )
         self.state = new_state
         self._drain_pending()

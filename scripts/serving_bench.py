@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=16)
     ap.add_argument("--budget", default="8:64")
     ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--policy", default="lpt", choices=["fifo", "lpt"],
+                    help="admission order: lpt = longest budget first "
+                    "(drain-throughput showcase; finish times align within "
+                    "chunks), fifo = arrival order (latency-fair)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -82,7 +86,8 @@ def main():
 
     def run_continuous():
         eng = make_engine()
-        cb = ContinuousBatcher(eng, chunk=args.chunk, bucket=args.prompt_len)
+        cb = ContinuousBatcher(eng, chunk=args.chunk, bucket=args.prompt_len,
+                               admit_policy=args.policy)
         for ids, budget in reqs:
             cb.submit(ids, max_new_tokens=budget)
         t0 = time.perf_counter()
@@ -119,6 +124,8 @@ def main():
         "static_s": round(t_stat, 3),
         "continuous_tok_s": round(total_tokens / t_cont, 1),
         "ratio_vs_static": round(t_cont / t_stat, 3),
+        "policy": args.policy,
+        "chunk": args.chunk,
     }))
 
 

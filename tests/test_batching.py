@@ -59,6 +59,28 @@ def test_continuous_batching_matches_generate(setup):
         assert results[rid] == want, f"rid {rid}: {results[rid]} != {want}"
 
 
+def test_continuous_batching_lpt_and_tail_shrink(setup):
+    """LPT admission + tail-chunk shrinking are pure scheduling changes:
+    every request's tokens must still match the one-shot oracle exactly.
+    Mixed budgets force reordering; the large chunk vs small budgets forces
+    the tail-shrink ladder."""
+    params, shared, prompts = setup
+    budgets = [3, 9, 2, 8, 4, 6]
+
+    eng = HydragenLlama(CFG, params)
+    eng.setup_caches(2, 32, [1], [16])
+    eng.append_shared(shared)
+    cb = ContinuousBatcher(eng, chunk=16, bucket=4, temperature=0.0,
+                           admit_policy="lpt")
+    rids = [cb.submit(p, max_new_tokens=b) for p, b in zip(prompts, budgets)]
+    results = cb.run()
+
+    assert set(results) == set(rids)
+    for rid, prompt, b in zip(rids, prompts, budgets):
+        want = reference_tokens(params, shared, prompt, b)
+        assert results[rid] == want, f"rid {rid}: {results[rid]} != {want}"
+
+
 def test_continuous_batching_eos(setup):
     params, shared, prompts = setup
     # Find the greedy continuation and use its 3rd token as eos.
