@@ -44,6 +44,25 @@ def usable_cpus() -> int:
         return os.cpu_count() or 1
 
 
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    A full-suite process accumulates hundreds of XLA:CPU executables (each
+    with its own thread/arena state); on very small CI hosts (1 core,
+    observed round 4) the accumulation eventually segfaults LLVM inside a
+    later large mesh compile (test_tp [2-2-2]) even with >100 GB RAM free.
+    Per-module clearing bounds the live-executable set; re-compiles within
+    a module are unaffected."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 def needs_cores(n: int, what: str = "heavy-geometry mesh collectives"):
     """skipif marker for tests whose 8-virtual-device programs are too heavy
     for very small hosts: with fewer usable cores than ``n``, the devices'
