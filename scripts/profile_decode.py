@@ -93,11 +93,17 @@ def main():
           f"({args.bs/per_step:.0f} tok/s decode-only)")
 
     if not args.no_trace:
-        from hydragen_tpu.utils.profiling import print_op_summary, trace
+        from hydragen_tpu.utils.profiling import (
+            print_op_summary, print_while_summary, trace,
+        )
 
         with trace("/tmp/hydragen_trace_r3"):
             _fence(gen(args.steps))
         print_op_summary("/tmp/hydragen_trace_r3", top=args.top)
+        # The decode scan shows as ONE opaque while above; break out its
+        # leaf ops per step (the round-4 serial-stack accounting view).
+        print_while_summary("/tmp/hydragen_trace_r3", top=args.top,
+                            steps=args.steps - 1)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,19 @@ step profile_w8a8_trace 5400 python scripts/profile_decode.py --quant w8a8
 step bench_w8a8_new128_kv4 7200 env HYDRAGEN_BENCH_QUANT=w8a8 \
   HYDRAGEN_BENCH_KV=int4 HYDRAGEN_BENCH_NEW=128 python bench.py
 
+# 2b. Kernel-tile probes at the north star, from the round-4 trace
+#     decomposition (unique read 9.15 ms/step at 1.7x floor; shared 2K read
+#     5.4 ms VPU-bound): DECODE_BLOCK_S=32 lets the clamped index maps skip
+#     the unfilled half of the 64-slot window for the first half of decode;
+#     FLASH_BLOCK_K raises the shared-read K tile (fewer online-softmax
+#     rescale passes — decisive at 16K, untested at 2K).
+step bench_w8a8_bs32 5400 env HYDRAGEN_BENCH_QUANT=w8a8 \
+  HYDRAGEN_DECODE_BLOCK_S=32 python bench.py
+step bench_w8a8_bk1024 5400 env HYDRAGEN_BENCH_QUANT=w8a8 \
+  HYDRAGEN_FLASH_BLOCK_K=1024 python bench.py
+step bench_w8a8_bk2048 5400 env HYDRAGEN_BENCH_QUANT=w8a8 \
+  HYDRAGEN_FLASH_BLOCK_K=2048 python bench.py
+
 # 3. INT4 arms (HBM-OOM + BlockSpec fixes).
 step bench_w4a8 5400 env HYDRAGEN_BENCH_QUANT=w4a8 python bench.py
 step bench_int4 5400 env HYDRAGEN_BENCH_QUANT=int4 python bench.py
@@ -87,7 +100,13 @@ step flat1k 3600 python scripts/profile_decode.py \
 step serving 7200 python scripts/serving_bench.py --chunk 32 --kv-quant int8
 step serving_c64 7200 python scripts/serving_bench.py --chunk 64 --kv-quant int8
 
-# 6. 7B paper-shape sweep (VERDICT r2 item 4) — the long pole, last.
+# 6. Hierarchy showcase refresh on the round-4 engine (r2 point: 8,796 /
+#    5,193 / 14,572 tok/s for hydragen / nohierarchy / noattention).
+step hier 10800 python scripts/synth.py results/hier_r4 \
+  --preset sheared-llama-1.3b --quantization int8 --kv-quant int8 \
+  --levels 2 --bs 64 --num-shared 2048 --num-unique 64 --mode all
+
+# 7. 7B paper-shape sweep (VERDICT r2 item 4) — the long pole, last.
 step sweep7b 28800 python scripts/synth.py results/sweep_r4_7b \
   --preset llama-2-7b --quantization int8 --kv-quant int8 \
   --bs 32:256:x2 --num-shared 1024:16384:x4 --num-unique 128 --mode all
