@@ -310,21 +310,24 @@ def _legal_row_batches(b: int, B: int) -> list[int]:
     ]
 
 
-# Known-good/bad boundary measured on v5e (scoped-vmem limit 16 MB): the
-# (R=8, block_s=112, hkv=32, d=128) bench config compiles (~15.3 MB by this
-# estimate) while (R=8, block_s=128) is rejected at 17.12 MB
-# (results/r3_measure/unique_s128_auto.log).
+# Scoped-vmem limit is 16 MB; measured pass/fail boundary on v5e:
+# single-block grids (block_s == S) DOUBLE-buffer streamed operands
+# (S=112/R=8 compiles at ~15.3 MB by this estimate; S=128/R=8 rejected at
+# 17.12 MB — r3 unique_s128_auto), while multi-block grids TRIPLE-buffer
+# them (b=8/S=2128/block_s=76: rejected at 16.13 MB, exactly 3x KV + extras
+# — r4 bench_w4a8 baseline postmortem).
 _VMEM_BUDGET = int(15.5 * (1 << 20))
 
 
 def _kernel_vmem_bytes(
     R: int, t: int, hkv: int, dp: int, cg: int, kv_bits: int,
-    merge_own: bool, merge_shared: bool,
+    merge_own: bool, merge_shared: bool, num_s_blocks: int = 1,
 ) -> int:
     """Conservative scoped-VMEM estimate for one grid cell's buffers."""
-    kv = 4 * R * t * hkv * dp  # k+v int8 blocks, double-buffered
+    nbuf = 2 if num_s_blocks == 1 else 3  # Mosaic pipelining depth
+    kv = nbuf * 2 * R * t * hkv * dp  # k+v int8 blocks
     n_sc = 4 if kv_bits == 4 else 2  # int4 adds the two high-plane refs
-    sc = 2 * n_sc * R * t * hkv * 4  # f32 scale blocks, double-buffered
+    sc = nbuf * n_sc * R * t * hkv * 4  # f32 scale blocks
     fixed = 2 * R * cg * dp * 2  # q + out (bf16)
     fixed += R * cg * (dp + 2 * LANES) * 4  # acc/m/l scratch (f32)
     fixed += 2 * R * cg * LANES * 4  # lse out (f32, buffered)
@@ -388,20 +391,22 @@ def _pick_blocks(
         ]
         env = os.environ.get("HYDRAGEN_DECODE_BLOCK_S")
         cap = int(env) if env else min(S, max(8, 4096 // hkv))
+    def fits(R, t):
+        return _kernel_vmem_bytes(
+            R, t, hkv, dp, cg, kv_bits, merge_own, merge_shared,
+            num_s_blocks=S // t,
+        ) <= _VMEM_BUDGET
+
     for R in rs:
         for t in cands:
             if t > cap:
                 continue
-            if _kernel_vmem_bytes(
-                R, t, hkv, dp, cg, kv_bits, merge_own, merge_shared
-            ) <= _VMEM_BUDGET:
+            if fits(R, t):
                 return R, t
         # A cap below every fitting candidate must not brick the call:
         # retry uncapped before shrinking R.
         for t in cands:
-            if _kernel_vmem_bytes(
-                R, t, hkv, dp, cg, kv_bits, merge_own, merge_shared
-            ) <= _VMEM_BUDGET:
+            if fits(R, t):
                 return R, t
     if block_s is not None and row_batch is not None:
         return rs[0], block_s  # fully explicit: the caller owns the risk

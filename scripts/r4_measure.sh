@@ -47,8 +47,13 @@ step() { # step NAME TIMEOUT_S CMD...
 }
 
 # 0. Mosaic lowering regression (decode picker + block_k heuristic changed).
-step kernels_compile 2400 env HYDRAGEN_TEST_TPU=1 \
-  python -m pytest tests/test_mosaic_lowering.py tests/test_flash.py -q
+#    Flash oracle cases restricted to bf16 tolerances: the fp32-written
+#    cases assert atol=2e-5, which real-TPU bf16 matmul precision cannot
+#    meet (they are CPU-suite tests; same restriction as the r3 arm).
+step kernels_compile2 2400 env HYDRAGEN_TEST_TPU=1 \
+  python -m pytest tests/test_mosaic_lowering.py -q
+step kernels_compile_flash 2400 env HYDRAGEN_TEST_TPU=1 \
+  python -m pytest tests/test_flash.py -q -k bf16
 
 # 1. Decode-kernel fix validation at the r3 crash geometries.
 step unique_s128_auto 1800 python scripts/ubench_unique.py --s 128
