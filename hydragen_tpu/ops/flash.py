@@ -422,12 +422,17 @@ def flash_attention_bhsd(
         )
     Mp = _round_up(M, block_m)
     if block_k is None:
-        # Long-KV streams amortize per-block VPU/DMA overhead with a bigger
-        # K tile: 1.3B bs256 decode at 16K prefix measured 17.3 ms/step
-        # (block_k=1024) vs 22.4 ms (512) vs 33.1 ms (256) —
-        # results/r3_measure/flat16k_bk*.log. Short streams keep the
-        # round-2 tuning point (512).
-        _cap = 1024 if s >= 8192 else 512
+        # Bigger K tiles amortize the per-block online-softmax rescale and
+        # DMA overhead (measured at the 7B north star: bench 6,780 tok/s at
+        # block_k=2048 vs 6,705 at 1024 vs 6,369 at the old 512; at 16K
+        # prefix 15.7 / 17.3 / 22.4 ms/step — r4_measure bench_w8a8_bk* and
+        # flat16k_*). Causal grids keep finer tiles (diagonal-block skipping
+        # is block-granular); the VPU-register product block_m*block_k is
+        # capped at the known-good 512Ki scores.
+        if causal:
+            _cap = 1024 if s >= 8192 else 512
+        else:
+            _cap = max(512, min(2048, (512 * 1024) // block_m))
         block_k = _env_block("HYDRAGEN_FLASH_BLOCK_K") or min(
             _cap, max(LANES, _round_up(min(s, _cap), LANES))
         )
@@ -729,12 +734,14 @@ def flash_attention_cached_bhsd(
         )
     Mp = _round_up(M, block_m)
     if block_k is None:
-        # Long-KV streams amortize per-block VPU/DMA overhead with a bigger
-        # K tile: 1.3B bs256 decode at 16K prefix measured 17.3 ms/step
-        # (block_k=1024) vs 22.4 ms (512) vs 33.1 ms (256) —
-        # results/r3_measure/flat16k_bk*.log. Short streams keep the
-        # round-2 tuning point (512).
-        _cap = 1024 if s >= 8192 else 512
+        # Bigger K tiles amortize the per-block online-softmax rescale and
+        # DMA overhead (measured at the 7B north star: bench 6,780 tok/s at
+        # block_k=2048 vs 6,705 at 1024 vs 6,369 at the old 512; at 16K
+        # prefix 15.7 / 17.3 / 22.4 ms/step — r4_measure bench_w8a8_bk* and
+        # flat16k_*). This entry point is always non-causal (shared-level
+        # reads); the VPU-register product block_m*block_k is capped at the
+        # known-good 512Ki scores.
+        _cap = max(512, min(2048, (512 * 1024) // block_m))
         block_k = _env_block("HYDRAGEN_FLASH_BLOCK_K") or min(
             _cap, max(LANES, _round_up(min(s, _cap), LANES))
         )
