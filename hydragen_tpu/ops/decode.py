@@ -189,8 +189,11 @@ def _decode_cached_kernel(
                 )                                          # [1, 2W]
             s = s_i.astype(jnp.float32) * (ks_row * qs)
 
-            lenbias = jnp.where(block_start + col_tok < limit, 0.0, NEG_INF)
-            s = jnp.where(diag, s + lenbias, NEG_INF)
+            # One fused mask select (diag AND in-range) instead of a
+            # lenbias add + two selects — the kernel is VPU-bound on
+            # exactly these per-score passes.
+            mask = jnp.logical_and(diag, block_start + col_tok < limit)
+            s = jnp.where(mask, s, NEG_INF)
 
             m_prev = m_scr[pl.ds(lo, cg), 0:1]
             l_prev = l_scr[pl.ds(lo, cg), 0:1]
