@@ -57,6 +57,14 @@ def init_params(
     """
     int4 = quantized in ("int4", "w4a8")
     H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    if quantized:
+        # Same intermediate-dim padding quantize_params applies to real
+        # checkpoints (ops/quant.py pad_intermediate): exact, and keeps the
+        # s8 GEMMs on 512-wide N tiles.
+        from hydragen_tpu.ops.quant import _I_PAD
+
+        if I >= _I_PAD:
+            I = -(-I // _I_PAD) * _I_PAD
     L = cfg.num_hidden_layers
     Hq = cfg.num_attention_heads * cfg.head_dim
     Hkv = cfg.num_key_value_heads * cfg.head_dim

@@ -21,9 +21,17 @@ def param_bytes(cfg: ModelConfig, quant) -> int:
     scales), or "int4"/"w4a8" (nibble-packed payload + bf16 group scales,
     group 128; lm_head stays INT8 — ops/quant.py quantize_params).
     """
+    I = cfg.intermediate_size
+    if quant:
+        # Quantized weights pad I to a 512 multiple for 512-wide s8 GEMM
+        # N tiles (ops/quant.py pad_intermediate) — price the padding.
+        from hydragen_tpu.ops.quant import _I_PAD
+
+        if I >= _I_PAD:
+            I = -(-I // _I_PAD) * _I_PAD
     per_layer = (
         4 * cfg.hidden_size * cfg.hidden_size
-        + 3 * cfg.hidden_size * cfg.intermediate_size
+        + 3 * cfg.hidden_size * I
     )
     body = per_layer * cfg.num_hidden_layers
     head = cfg.hidden_size * cfg.vocab_size

@@ -68,6 +68,40 @@ def test_quantized_engine_generates_same_argmax_mostly():
     assert (t_fp == t_q).mean() >= 0.5
 
 
+def test_pad_intermediate_is_exact():
+    """Zero-padding the MLP intermediate dim (s8-GEMM N-tile alignment,
+    ops/quant.py pad_intermediate) must not change the computed function:
+    padded gate/up out-cols are zero, silu(0)*0 = 0, and down's padded
+    in-rows are zero."""
+    import jax.numpy as jnp
+
+    from hydragen_tpu.ops.quant import pad_intermediate, qmatmul, quantize
+
+    rng = np.random.RandomState(3)
+    L, H, I = 2, 64, 576  # 576 >= 512 and not a 512 multiple -> pads to 1024
+    layers = {
+        "gate": jnp.asarray(rng.randn(L, H, I), jnp.float32),
+        "up": jnp.asarray(rng.randn(L, H, I), jnp.float32),
+        "down": jnp.asarray(rng.randn(L, I, H), jnp.float32),
+    }
+    padded = pad_intermediate(layers)
+    assert padded["gate"].shape == (L, H, 1024)
+    assert padded["down"].shape == (L, 1024, H)
+
+    x = jnp.asarray(rng.randn(2, 3, H), jnp.float32)
+
+    def mlp(ls):
+        g = qmatmul(x, quantize(ls["gate"][0]), "bth,hi->bti")
+        u = qmatmul(x, quantize(ls["up"][0]), "bth,hi->bti")
+        h = jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+        return qmatmul(h, quantize(ls["down"][0]), "bti,ih->bth")
+
+    np.testing.assert_allclose(
+        np.asarray(mlp(layers)), np.asarray(mlp(padded)), rtol=2e-2,
+        atol=1e-3,
+    )
+
+
 def test_kv_quant_roundtrip():
     from hydragen_tpu.ops.quant import dequantize_kv, quantize_kv
 
