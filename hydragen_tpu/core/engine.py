@@ -313,7 +313,12 @@ class HydragenLlama:
                     f"params already quantized at a different width than "
                     f"{quantization!r}"
                 )
-                params = quantize_params(params, bits=bits)
+                params = quantize_params(
+                    params, bits=bits,
+                    # N-tile alignment pays only on the s8 GEMM paths; the
+                    # weight-only dq einsum would just do +2.3 % MXU work.
+                    pad_mlp=quantization in ("w8a8", "w4a8"),
+                )
         self.config = config
         self.params = params
         self.impl = impl

@@ -57,10 +57,11 @@ def init_params(
     """
     int4 = quantized in ("int4", "w4a8")
     H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
-    if quantized:
+    if quantized in ("w8a8", "w4a8"):
         # Same intermediate-dim padding quantize_params applies to real
         # checkpoints (ops/quant.py pad_intermediate): exact, and keeps the
-        # s8 GEMMs on 512-wide N tiles.
+        # s8 GEMMs on 512-wide N tiles. Weight-only modes skip it — dq's
+        # einsum gains nothing and the pad is +2.3 % MXU work.
         from hydragen_tpu.ops.quant import _I_PAD
 
         if I >= _I_PAD:

@@ -453,7 +453,8 @@ def pad_intermediate(layers: dict) -> dict:
 
 
 def quantize_params(
-    params: dict, quantize_lm_head: bool = True, bits: int = 8
+    params: dict, quantize_lm_head: bool = True, bits: int = 8,
+    pad_mlp: bool = False,
 ) -> dict:
     """Quantize the large projection matrices of a Llama param pytree.
 
@@ -475,7 +476,9 @@ def quantize_params(
         lambda w: quantize_jit(w, axis=-2)
     )
     out = dict(params)
-    layers = pad_intermediate(dict(params["layers"]))
+    layers = dict(params["layers"])
+    if pad_mlp:  # s8-GEMM N-tile alignment (see pad_intermediate)
+        layers = pad_intermediate(layers)
     for k in _QUANT_KEYS:
         layers[k] = qfn(layers[k])
     out["layers"] = layers

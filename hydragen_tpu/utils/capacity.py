@@ -22,9 +22,9 @@ def param_bytes(cfg: ModelConfig, quant) -> int:
     group 128; lm_head stays INT8 — ops/quant.py quantize_params).
     """
     I = cfg.intermediate_size
-    if quant:
-        # Quantized weights pad I to a 512 multiple for 512-wide s8 GEMM
-        # N tiles (ops/quant.py pad_intermediate) — price the padding.
+    if quant in ("w8a8", "w4a8"):
+        # s8-GEMM modes pad I to a 512 multiple for 512-wide N tiles
+        # (ops/quant.py pad_intermediate) — price the padding.
         from hydragen_tpu.ops.quant import _I_PAD
 
         if I >= _I_PAD:
