@@ -276,17 +276,24 @@ def fill_shared_level(
     """Write a freshly-prefilled level (``SharedCache.fill``, llama.py:120-167).
 
     k, v: ``[L, sb, hkv, t, hd]`` — all layers of the new level's KV (compute
-    dtype; quantized here if the cache stores int8).
+    dtype; quantized here if the cache stores int8), or pre-quantized
+    ``(payload, scale)`` tuples from the in-scan quantization path
+    (model_forward ``quantize_new_kv`` — avoids the stacked bf16 transient
+    at long prefills).
     seq_lens: ``[sb]`` true lengths (padding beyond is ignored by masking).
     """
     level = cache.shared[level_idx]
-    sb, t = k.shape[1], k.shape[3]
+    if isinstance(k, tuple):
+        assert level.quantized
+        (kq, ks), (vq, vs) = k, v
+    else:
+        kq, ks = _maybe_quantize(k, level.quantized)
+        vq, vs = _maybe_quantize(v, level.quantized)
+    sb, t = kq.shape[1], kq.shape[3]
     assert sb <= level.max_batch_size and t <= level.max_seq_len, (
         f"level {level_idx}: got [{sb},{t}] max [{level.max_batch_size},{level.max_seq_len}]"
     )
     zeros5 = (0, 0, 0, 0, 0)
-    kq, ks = _maybe_quantize(k, level.quantized)
-    vq, vs = _maybe_quantize(v, level.quantized)
     new_level = level._replace(
         k=_block_update(level.k, kq, zeros5),
         v=_block_update(level.v, vq, zeros5),
@@ -314,11 +321,17 @@ def update_unique_prefill(
     (fresh cache => contiguous block update, far cheaper than the reference's
     general scatter, llama.py:236-262); the disable_hydragen baseline passes
     the copied shared length. ``row_start`` targets a row slot for
-    continuous-batching admission.
+    continuous-batching admission. k/v may be pre-quantized
+    ``(payload, scale)`` tuples (in-scan quantization, see
+    fill_shared_level).
     """
-    kq, ks = _maybe_quantize(k, cache.quantized, cache.unique_bits)
-    vq, vs = _maybe_quantize(v, cache.quantized, cache.unique_bits)
-    L, bb, hkv, t = k.shape[:4]
+    if isinstance(k, tuple):
+        assert cache.quantized
+        (kq, ks), (vq, vs) = k, v
+    else:
+        kq, ks = _maybe_quantize(k, cache.quantized, cache.unique_bits)
+        vq, vs = _maybe_quantize(v, cache.quantized, cache.unique_bits)
+    L, bb, hkv, t = kq.shape[:4]
     if cache.unique_bits == 4:
         # Token-planar nibble pack: byte row j <- (token j low, token
         # j + Sp high). Prefill must start at 0 — partner nibbles inside

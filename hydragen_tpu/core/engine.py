@@ -140,8 +140,14 @@ def _shared_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, full_log
         local_pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)).astype(jnp.int32)
     pos = shared_lens[:, None] + local_pos
 
+    # Quantize new KV inside the layer scan when the level stores int8:
+    # the stacked bf16 transient of a long prefill otherwise dominates peak
+    # HBM (8.6 GB at 7B/16K — OOMed the round-4 sweep's 16K column).
+    level = cache.shared[spec.num_used_levels]
+    qbits = 8 if level.quantized else None
     hidden, nk, nv = model_forward(
-        params, cfg, cache, input_ids, pos, local_pos, spec, mesh=mesh
+        params, cfg, cache, input_ids, pos, local_pos, spec, mesh=mesh,
+        quantize_new_kv=qbits,
     )
     cache = fill_shared_level(cache, spec.num_used_levels, nk, nv, seq_lens)
     logits = logits_from_hidden(
@@ -170,9 +176,13 @@ def _unique_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, has_pad,
         unique_pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)).astype(jnp.int32)
         history_lens = None
 
+    # In-scan KV quantization (see _shared_prefill_step): decisive for the
+    # disable_hydragen baseline, whose full-prefix rows otherwise stack
+    # [L, b, hkv, prefix, hd] bf16 transients.
+    qbits = cache.unique_bits if cache.quantized else None
     hidden, nk, nv = model_forward(
         params, cfg, cache, input_ids, pos, unique_pos, spec,
-        history_lens=history_lens, mesh=mesh,
+        history_lens=history_lens, mesh=mesh, quantize_new_kv=qbits,
     )
     if spec.disable_hydragen:
         # All rows share one prefix length (enforced by generate): contiguous

@@ -308,6 +308,7 @@ def model_forward(
     history_mask: jax.Array | None = None,
     inplace_slot: jax.Array | None = None,
     mesh=None,
+    quantize_new_kv: int | None = None,
 ):
     """Run the decoder stack in one of the three cache modes.
 
@@ -333,9 +334,20 @@ def model_forward(
             and the engine-side whole-cache update all disappear (measured
             >15 ms/step at 7B batch 256). Returns ``(hidden, cache)``.
 
+        quantize_new_kv: quantize each layer's new KV INSIDE the scan body
+            (8 -> ``quantize_kv``, 4 -> ``quantize_kv4`` unpacked values).
+            The stacked bf16 new-KV transient of a long prefill otherwise
+            dominates peak HBM: at 7B/16K it is 8.6 GB, which OOMed the
+            round-4 sweep beside 6.6 GB of weights
+            (results/r4_measure/sweep7b.log). In-scan quantization emits
+            int8 payloads + f32 scales, letting the per-layer bf16 arrays
+            die inside the scan.
+
     Returns:
         (hidden ``[b, t, H]``, new_k ``[L, b, hkv, t, hd]``, new_v likewise),
-        or ``(hidden, cache)`` when ``inplace_slot`` is given.
+        or ``(hidden, cache)`` when ``inplace_slot`` is given. With
+        ``quantize_new_kv``, new_k/new_v are ``(payload, scale)`` tuples
+        (scale ``[L, b, hkv, t]`` f32).
     """
     impl = resolve_forward_impl(spec)
     b, t = input_ids.shape
@@ -675,7 +687,14 @@ def model_forward(
         )
         h = resid + m
 
-        return h, (k, v)
+        if quantize_new_kv:
+            from hydragen_tpu.ops.quant import quantize_kv, quantize_kv4
+
+            qfn = quantize_kv4 if quantize_new_kv == 4 else quantize_kv
+            kq, ks = qfn(k)
+            vq, vs = qfn(v)
+            return h, ((kq, ks), (vq, vs))
+        return h, ((k, None), (v, None))
 
     biases = (
         (lp["bq"], lp["bk"], lp["bv"], lp["bo"])
@@ -705,7 +724,7 @@ def model_forward(
         new_kvs = []
         for li in range(cfg.num_hidden_layers):
             xs_li = jax.tree.map(lambda a, li=li: a[li], xs)
-            h, (k1, v1) = layer(h, xs_li)
+            h, ((k1, _), (v1, _)) = layer(h, xs_li)
             new_kvs.append((k1, v1))
         for li, (k1, v1) in enumerate(new_kvs):
             cache = write_decode_token_layer(cache, li, k1, v1, inplace_slot)
@@ -729,8 +748,10 @@ def model_forward(
     # kernel path reads the packed payload directly and keeps the unroll.
     int4_dq = isinstance(lp["wq"], Quantized4Tensor) and spec.matmul != "w4a8"
     unroll = cfg.num_hidden_layers if (t == 1 and quantized and not int4_dq) else 1
-    h, (new_k, new_v) = jax.lax.scan(layer, h, xs, unroll=unroll)
+    h, ((new_k, nks), (new_v, nvs)) = jax.lax.scan(layer, h, xs, unroll=unroll)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    if quantize_new_kv:
+        return h, (new_k, nks), (new_v, nvs)
     return h, new_k, new_v
 
 

@@ -65,7 +65,25 @@ def fits_hbm(cfg, quant, kv_quant, bs, ns, nu, mode, levels,
     transient = 0
     if mode == "hydragen_noshared":  # copy_shared_to_unique's repeat
         transient = L * bs * ns * per_tok * itemsize
-    return weights + cache + transient < HBM_BYTES
+    # Prefill new-KV transient: the layer scan stacks all layers' new KV
+    # before the cache write — quantized in-scan when the target store is
+    # quantized (model_forward quantize_new_kv; int8 payload + f32 scales),
+    # bf16 otherwise. The 7B/16K column OOMed on exactly this term before
+    # the in-scan path (results/r4_measure/sweep7b.log).
+    sp_item = (1 + 4 / cfg.head_dim) if shared_int8 else 2
+    transient = max(transient, int(L * ns * per_tok * sp_item))
+    if mode == "hydragen_noshared":
+        # int4 emits UNPACKED int8 values in-scan (packing happens at the
+        # cache write), so the transient is 1 byte/value for any kv_quant.
+        up_item = (1 + 4 / cfg.head_dim) if kv_quant else 2
+        transient = max(
+            transient,
+            int(L * bs * (ns + nu) * per_tok * up_item)
+            + L * bs * ns * per_tok * itemsize,  # repeat copy coexists
+        )
+    # Prefill activation slack (hidden/intermediate rows at ns width).
+    act = 6 * ns * max(cfg.intermediate_size, cfg.hidden_size) * 2
+    return weights + cache + transient + act < HBM_BYTES
 
 
 def result_path(outdir: Path, mode: str, bs: int, ns: int, nu: int) -> Path:
