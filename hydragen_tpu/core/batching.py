@@ -558,7 +558,6 @@ class ContinuousBatcher:
         free_by_group: Dict[int, List[int]] = {}
         for r in self._free_rows():
             free_by_group.setdefault(self._row_group(r), []).append(r)
-        kept = []
         order = self._queue
         if self.admit_policy == "lpt":
             # Stable sort: ties keep arrival order.
