@@ -23,10 +23,16 @@ Design drivers (all measured on v5e, see docs/results_v5e.md):
 - **Row batching**: grid-cell overhead measured ~0.5 us/cell, so one cell
   processes ``row_batch`` rows with an in-kernel ``fori_loop`` over per-row
   dots (NOT one giant cross-row dot — that would square the score
-  redundancy; and NOT a Python unroll — an 8-row unroll took ~20 min of
-  Mosaic compile). Measured ladder at b=256/hkv=32/s=64: 1024 cells 622 us
+  redundancy). Measured ladder at b=256/hkv=32/s=64: 1024 cells 622 us
   -> 256 cells 270 us -> 32 cells ~222 us vs 336 us for the XLA path,
   169 us floor.
+- **Row sub-unrolling**: each loop body traces ``_row_sub_unroll`` rows
+  back-to-back so Mosaic's list scheduler overlaps the rows' independent
+  MXU->VPU chains — a 1-row body drains the MXU pipe twice per row
+  (measured 248 us vs a 180 us full-unroll at the 7B bs-256 shape, but
+  full unroll costs ~20 min of Mosaic compile and a depth-3
+  carried-value software pipeline measured 327 us — loop-carried
+  [cg, W] tensors round-trip through VMEM).
 - **Whole-cache operands, layer picked by scalar prefetch**: the model
   passes the UNSLICED ``[L, ...]`` cache buffers and the layer index rides
   scalar prefetch into the BlockSpec index maps. Feeding per-layer slices
@@ -87,6 +93,18 @@ def unchunk_kv_scales(chunked: jax.Array, c: int) -> jax.Array:
     x = chunked.reshape(*lead, nc, s, c)
     x = jnp.moveaxis(x, -3, -2)
     return x.reshape(*lead, s, nc * c)
+
+
+def _row_sub_unroll(rows: int) -> int:
+    """How many rows each fori-loop body traces back-to-back (see the
+    sub-unroll note in ``_compute``). ``HYDRAGEN_DECODE_SUB`` caps it; the
+    value must divide ``rows``."""
+    env = os.environ.get("HYDRAGEN_DECODE_SUB")
+    cap = int(env) if env else 4
+    for s in (8, 4, 2):
+        if s <= cap and rows % s == 0:
+            return s
+    return 1
 
 
 def _decode_cached_kernel(
@@ -162,9 +180,17 @@ def _decode_cached_kernel(
         w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1)
         col_tok = (w_iota % W) // c + (w_iota // W) * sp_tokens
 
-        # fori_loop (not a Python unroll): the body compiles ONCE, keeping
-        # Mosaic compile time flat in `rows`.
-        def body(r, _):
+        # Sub-unrolled row loop: each fori iteration processes `sub` rows
+        # traced back-to-back. A 1-row body consumes each MXU result
+        # immediately, draining the MXU pipe twice per row — measured
+        # 248 us vs the 169 us DMA floor at the 7B bs-256 decode shape —
+        # while a FULL Python unroll (Mosaic's list scheduler overlaps the
+        # rows' independent MXU/VPU chains) ran 180 us but cost ~20 min of
+        # compile. `sub` rows per body buys most of that overlap at ~sub x
+        # body compile cost. (A depth-3 software pipeline with [cg, W2]
+        # loop carries was tried and measured *slower* — 327 us — the
+        # carried tensors round-trip through VMEM each iteration.)
+        def one_row(r):
             lo = r * cg
             limit = lens_ref[bi * rows + r]
             # In-kernel q quantization: one scalar scale per row (cheap —
@@ -190,8 +216,8 @@ def _decode_cached_kernel(
             s = s_i.astype(jnp.float32) * (ks_row * qs)
 
             # One fused mask select (diag AND in-range) instead of a
-            # lenbias add + two selects — the kernel is VPU-bound on
-            # exactly these per-score passes.
+            # lenbias add + two selects — these per-score VPU passes are
+            # the kernel's compute side.
             mask = jnp.logical_and(diag, block_start + col_tok < limit)
             s = jnp.where(mask, s, NEG_INF)
 
@@ -227,9 +253,15 @@ def _decode_cached_kernel(
             )                                              # [cg, dp] i32
             o_f = o_i.astype(jnp.float32) * (pmax_safe / 127.0)
             acc_scr[pl.ds(lo, cg)] = acc_scr[pl.ds(lo, cg)] * alpha + o_f
+
+        sub = _row_sub_unroll(rows)
+
+        def body(j, _):
+            for t in range(sub):
+                one_row(j * sub + t)
             return 0
 
-        jax.lax.fori_loop(0, rows, body, 0, unroll=False)
+        jax.lax.fori_loop(0, rows // sub, body, 0, unroll=False)
 
     @pl.when(si == num_s_blocks - 1)
     def _emit():
@@ -340,6 +372,9 @@ def _kernel_vmem_bytes(
         fixed += 2 * 2 * R * hkv * dp * 2  # k1/v1 bf16, buffered
     if merge_shared:
         fixed += 2 * R * cg * (dp * 2 + 4)  # o_sh bf16 + lse_sh f32
+    # Pipelined row loop: the carried scores/probs ([cg, W2] i32 + s8)
+    # live across iterations.
+    fixed += cg * (2 if kv_bits == 4 else 1) * t * hkv * 5
     return kv + sc + fixed
 
 

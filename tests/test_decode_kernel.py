@@ -62,6 +62,10 @@ def _assert_close(o1, l1, o0, l0):
         (8, 8, 8, 48, 128, "ragged", 16, 4),     # multi-block online softmax
         (4, 8, 8, 16, 128, 9, None, 2),          # uniform short lens
         (8, 16, 16, 32, 128, "ragged", None, 8),
+        # Degenerate pipeline (R=1: all three phases clamp to row 0) and a
+        # multi-block grid at full row batch.
+        (8, 8, 8, 16, 128, "ragged", None, 1),
+        (8, 8, 8, 48, 128, "ragged", 16, 8),
     ],
 )
 def test_decode_kernel_parity(b, hq, hkv, s, d, lens_mode, block_s, R):
