@@ -14,8 +14,9 @@ reports; the baseline therefore runs at its own best feasible batch).
 
 Env overrides: HYDRAGEN_BENCH_MODEL (preset name), HYDRAGEN_BENCH_BS,
 HYDRAGEN_BENCH_SHARED, HYDRAGEN_BENCH_NEW,
-HYDRAGEN_BENCH_QUANT=int8|w8a8|int4|w4a8|none (w8a8 = + per-row activation
-int8 on the s8 MXU; int4/w4a8 = group-wise 4-bit weights, dq / s8 MXU),
+HYDRAGEN_BENCH_QUANT=int8|w8a8|mixed|int4|w4a8|none (w8a8 = + per-row
+activation int8 on the s8 MXU; mixed = w8a8 + int4 down projection;
+int4/w4a8 = group-wise 4-bit weights, dq / s8 MXU),
 HYDRAGEN_BENCH_KV=int8 (default; "" for bf16 KV),
 HYDRAGEN_BENCH_SHARED_KV=follow|none|int8 (shared-level KV precision;
 "none" keeps the once-stored prefix in bf16 — faster at long prefixes).

@@ -311,7 +311,7 @@ class HydragenLlama:
                 quantize_params,
             )
 
-            assert quantization in ("int8", "w8a8", "int4", "w4a8"), (
+            assert quantization in ("int8", "w8a8", "int4", "w4a8", "mixed"), (
                 f"unknown quantization {quantization!r}"
             )
             bits = 4 if quantization in ("int4", "w4a8") else 8
@@ -327,7 +327,13 @@ class HydragenLlama:
                     params, bits=bits,
                     # N-tile alignment pays only on the s8 GEMM paths; the
                     # weight-only dq einsum would just do +2.3 % MXU work.
-                    pad_mlp=quantization in ("w8a8", "w4a8"),
+                    pad_mlp=quantization in ("w8a8", "w4a8", "mixed"),
+                    # "mixed" = the measured decode-optimal per-family mix:
+                    # int8 weights (dq qkv/o, s8-GEMM gate/up) + INT4 down
+                    # (the K-heavy projection is the one family where the
+                    # w4a8 kernel wins at decode M — 93 vs 153 us/layer on
+                    # the 7B M=256 ladder, docs/results_v5e.md).
+                    bits4_families=("down",) if quantization == "mixed" else (),
                 )
         self.config = config
         self.params = params
@@ -337,7 +343,8 @@ class HydragenLlama:
         # weight-only dequant-fused bf16 path. Mutable: a jit
         # specialization key via ForwardSpec.
         self.matmul_impl = (
-            quantization if quantization in ("w8a8", "w4a8") else "dq"
+            "w8a8" if quantization == "mixed"
+            else quantization if quantization in ("w8a8", "w4a8") else "dq"
         )
         self.mesh = None
         self.cache: Optional[KVCache] = None

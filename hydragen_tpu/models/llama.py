@@ -465,8 +465,15 @@ def model_forward(
     )
 
     def qmm(x, w, subscripts, family=None, li=None):
+        from hydragen_tpu.ops.quant import Quantized4Tensor
+
         impl = spec.matmul
-        if (
+        if impl == "w8a8" and isinstance(w, Quantized4Tensor):
+            # Mixed per-family widths (quantization="mixed"): an int4
+            # weight under the w8a8 engine mode routes to the w4a8 GEMM —
+            # the family routing below is int8-specific.
+            impl = "w4a8"
+        elif (
             impl == "w8a8"
             and family is not None
             and "all" not in _w8a8_fams

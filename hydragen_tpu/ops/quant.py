@@ -454,7 +454,7 @@ def pad_intermediate(layers: dict) -> dict:
 
 def quantize_params(
     params: dict, quantize_lm_head: bool = True, bits: int = 8,
-    pad_mlp: bool = False,
+    pad_mlp: bool = False, bits4_families: tuple = (),
 ) -> dict:
     """Quantize the large projection matrices of a Llama param pytree.
 
@@ -468,6 +468,11 @@ def quantize_params(
     ``bits=4`` keeps the lm_head at INT8: logits feed sampling directly and
     the head is the quality-critical matmul (same reasoning that pins it to
     the weight-only path under w8a8, core/engine.py).
+
+    ``bits4_families`` quantizes the named projection families at INT4
+    regardless of ``bits`` — the mixed decode-optimal layout (engine mode
+    "mixed": int8 everywhere, int4 ``down``) from the measured M=256 GEMM
+    ladder, where only the K-heavy down projection wins on the w4a8 kernel.
     """
     assert bits in (8, 4), bits
     quantize_jit = jax.jit(quantize, static_argnames=("axis",))
@@ -480,7 +485,7 @@ def quantize_params(
     if pad_mlp:  # s8-GEMM N-tile alignment (see pad_intermediate)
         layers = pad_intermediate(layers)
     for k in _QUANT_KEYS:
-        layers[k] = qfn(layers[k])
+        layers[k] = quantize4_jit(layers[k]) if k in bits4_families else qfn(layers[k])
     out["layers"] = layers
     if quantize_lm_head:
         out["lm_head"] = quantize_jit(params["lm_head"], axis=-2)

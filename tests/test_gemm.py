@@ -254,3 +254,35 @@ def test_w4a8_engine_e2e(monkeypatch):
     l_w4a8 = _forced_logits(cfg, params, "w4a8", prompt, overrides)
     for a, b in zip(l_int4, l_w4a8):
         assert np.abs(a - b).mean() < 0.05 * np.abs(a).mean() + 0.05
+
+
+def test_mixed_engine_e2e(monkeypatch):
+    """quantization="mixed" (int8 weights + INT4 down via the w4a8 kernel,
+    the measured decode-optimal per-family mix) stays within quant noise of
+    the weight-only int8 engine on logits along a forced token stream, and
+    actually carries an int4 down projection."""
+    monkeypatch.setenv("HYDRAGEN_W8A8_INTERPRET", "1")
+    from hydragen_tpu.core.engine import HydragenLlama
+    from hydragen_tpu.models.config import ModelConfig
+    from hydragen_tpu.models.llama import init_params
+    from hydragen_tpu.ops.quant import Quantized4Tensor, QuantizedTensor
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        dtype="float32",
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, 256, (1, 6)).astype(np.int32)
+    overrides = rng.randint(1, 256, (4, 5)).astype(np.int32)
+
+    eng = HydragenLlama(cfg, params, quantization="mixed")
+    assert isinstance(eng.params["layers"]["down"], Quantized4Tensor)
+    assert isinstance(eng.params["layers"]["wq"], QuantizedTensor)
+    assert eng.matmul_impl == "w8a8"
+
+    l_int8 = _forced_logits(cfg, params, "int8", prompt, overrides)
+    l_mix = _forced_logits(cfg, params, "mixed", prompt, overrides)
+    for a, b in zip(l_int8, l_mix):
+        assert np.abs(a - b).mean() < 0.06 * np.abs(a).mean() + 0.06
