@@ -144,6 +144,12 @@ def _kernel(
             # scale commutes out of the dot and lands on the score COLUMNS —
             # [block_m, block_k] multiplies instead of [block_k, dp], and the
             # scale block lives in lanes so the layout is legal.
+            # (Running BOTH dots on the s8 MXU instead — in-kernel q/prob
+            # requantization, the decode kernel's trick — was built and
+            # measured SLOWER everywhere on v5e: 95 vs 86 us at the 7B-2K
+            # decode read, 842 vs 726 us at causal prefill; the kernel is
+            # serial-drain-bound per grid cell, not MXU-bound, and the extra
+            # requant passes lengthen exactly that chain.)
             k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -433,9 +439,17 @@ def flash_attention_bhsd(
             _cap = 1024 if s >= 8192 else 512
         else:
             _cap = max(512, min(2048, (512 * 1024) // block_m))
+            if s >= 8192:
+                # Long non-causal streams amortize per-block drains with a
+                # coarser K tile (1.3B-16K decode read: 263.6 us at 4096 vs
+                # 291.1 at 2048; 8192 exceeds scoped VMEM at block_m=256).
+                _cap = max(_cap, min(4096, (1024 * 1024) // block_m))
         block_k = _env_block("HYDRAGEN_FLASH_BLOCK_K") or min(
             _cap, max(LANES, _round_up(min(s, _cap), LANES))
         )
+        # An env/explicit block beyond the stream length would PAD the KV
+        # stream (measured 2x at S=2048 under a forced 4096 tile); clamp.
+    block_k = min(block_k, max(LANES, _round_up(s, LANES)))
     num_kv_blocks = -(-s // block_k)
 
     quantized = k_scale is not None
