@@ -16,7 +16,20 @@ from hydragen_tpu.ops.flash import flash_attention_bhsd
 from hydragen_tpu.ops.reference import attention_bhsd
 
 
+# fp32 matmuls on real TPU run at the default (bf16-pass) MXU precision —
+# both in the oracle einsums and in interpret-mode kernel dots — so the
+# fp32-written tolerances must key on the backend (a HYDRAGEN_TEST_TPU=1
+# run of this whole file must pass, so a .fail in the measurement plan
+# means a real regression, not a precision artifact).
+_TPU = jax.default_backend() == "tpu"
+
+
+def _tol(atol: float) -> float:
+    return max(atol, 2e-2) if _TPU else atol
+
+
 def check(q, k, v, *, causal=False, kv_seq_lens=None, atol=2e-5, **kw):
+    atol = _tol(atol)
     got_o, got_l = flash_attention_bhsd(
         q, k, v, causal=causal, kv_seq_lens=kv_seq_lens, interpret=True, **kw
     )
@@ -26,7 +39,7 @@ def check(q, k, v, *, causal=False, kv_seq_lens=None, atol=2e-5, **kw):
     gl, wl = np.asarray(got_l), np.asarray(want_l)
     np.testing.assert_array_equal(np.isinf(gl), np.isinf(wl))
     fin = np.isfinite(wl)
-    np.testing.assert_allclose(gl[fin], wl[fin], atol=atol, rtol=1e-5)
+    np.testing.assert_allclose(gl[fin], wl[fin], atol=atol, rtol=1e-2 if _TPU else 1e-5)
 
 
 def rand(key, shape, dtype=jnp.float32):
@@ -111,4 +124,4 @@ def test_matches_combine_pipeline():
     o1, l1 = flash_attention_bhsd(q, k[:, :, :s1], v[:, :, :s1], interpret=True)
     o2, l2 = flash_attention_bhsd(q, k[:, :, s1:], v[:, :, s1:], interpret=True)
     merged = combine_lse([o1, o2], [l1, l2])
-    np.testing.assert_allclose(np.asarray(merged), np.asarray(full), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(full), atol=_tol(1e-5))
