@@ -198,14 +198,14 @@ def _unique_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, has_pad,
     jax.jit,
     static_argnames=(
         "cfg", "spec", "steps", "temperature", "top_p", "use_overrides",
-        "return_logits", "uniform_pos",
+        "return_logits", "uniform_pos", "mesh",
     ),
     donate_argnames=("cache",),
 )
 def _decode_steps(
     params, cache, first_token, start_pos, start_unique_pos, rng,
     overrides, cfg, spec, steps, temperature, top_p, use_overrides,
-    return_logits, uniform_pos=False,
+    return_logits, uniform_pos=False, mesh=None,
 ):
     """The hot loop (llama.py:1351-1380) as a single scanned program."""
 
@@ -227,12 +227,12 @@ def _decode_steps(
         if uniform_pos and w_quantized and not spec.disable_hydragen:
             hidden, cache = model_forward(
                 params, cfg, cache, tok, pos, upos[:, None], spec,
-                history_lens=upos, inplace_slot=upos[0],
+                history_lens=upos, inplace_slot=upos[0], mesh=mesh,
             )
         else:
             hidden, nk, nv = model_forward(
                 params, cfg, cache, tok, pos, upos[:, None], spec,
-                history_lens=upos,
+                history_lens=upos, mesh=mesh,
             )
             cache = update_unique_decode(cache, upos, nk, nv, uniform=uniform_pos)
         # lm_head stays on the weight-only dq path even under w8a8: logits
@@ -531,10 +531,10 @@ class HydragenLlama:
             disable_attention=self._disable_attention,
             impl=self.impl,
             sharded=self.mesh is not None,
-            # A pallas GEMM is an opaque custom call GSPMD cannot
-            # partition (same constraint as the attention kernels):
-            # sharded runs stay on the dequant-fused XLA path.
-            matmul=self.matmul_impl if self.mesh is None else "dq",
+            # Kept under meshes too (round 5): column-parallel families run
+            # the s8 GEMMs per shard via shard_map (parallel/shard_gemm.py);
+            # row-parallel/ineligible families fall back to dq inside qmm.
+            matmul=self.matmul_impl,
             level_batch=tuple(self.level_batch),
         )
 
@@ -578,10 +578,10 @@ class HydragenLlama:
             disable_attention=self._disable_attention,
             impl=self.impl,
             sharded=self.mesh is not None,
-            # A pallas GEMM is an opaque custom call GSPMD cannot
-            # partition (same constraint as the attention kernels):
-            # sharded runs stay on the dequant-fused XLA path.
-            matmul=self.matmul_impl if self.mesh is None else "dq",
+            # Kept under meshes too (round 5): column-parallel families run
+            # the s8 GEMMs per shard via shard_map (parallel/shard_gemm.py);
+            # row-parallel/ineligible families fall back to dq inside qmm.
+            matmul=self.matmul_impl,
             level_batch=tuple(self.level_batch),
         )
         logits, self.cache = _shared_prefill_step(
@@ -816,7 +816,7 @@ class HydragenLlama:
                     self.params, self.cache, cur_tok, start_pos + done,
                     start_unique_pos + done, rng, overrides_xs[done : done + c],
                     self.config, spec, c, temperature, top_p, use_overrides,
-                    return_logits, uniform_pos=uniform_pos,
+                    return_logits, uniform_pos=uniform_pos, mesh=self.mesh,
                 )
                 done += c
                 tok_chunks.append(toks)

@@ -265,6 +265,17 @@ def resolve_forward_impl(spec: ForwardSpec) -> str:
     return impl
 
 
+def _mesh_kernels_on() -> bool:
+    """Run the mesh-wrapped Pallas fast paths? True on TPU; off-TPU the
+    CPU-mesh tests and the driver's dryrun opt in explicitly (interpret-mode
+    pallas at model scale is too slow for the default CPU suite)."""
+    import os
+
+    return jax.default_backend() == "tpu" or bool(
+        os.environ.get("HYDRAGEN_MESH_KERNELS_INTERPRET")
+    )
+
+
 def _mesh_level_attn_ok(mesh, spec: ForwardSpec, b, hq, hkv, sb, s, m) -> bool:
     """Route this shared-level read through the shard_map'd Pallas kernel?
 
@@ -382,25 +393,48 @@ def model_forward(
     # Pallas kernel (layer index via scalar prefetch) whenever the shapes
     # would pick the Pallas path anyway — per-layer slice operands make XLA
     # materialize each layer's level slice per step (~4.5 ms at 7B bs256).
-    def _shared_cached_ok(fl, sb):
+    # Returns False | "local" | "mesh": under a mesh the same kernel runs
+    # per shard via shard_map (parallel/shard_attn.py) — inside the body
+    # the local level shard is a whole buffer, the kernel's own operand
+    # requirement (VERDICT r4 item 1; ref anchor: kernels under TP,
+    # tp.py:84-112).
+    def _shared_cached_ok(lv, fl, sb):
         if (
-            jax.default_backend() != "tpu"
-            or spec.sharded
-            or impl == "xla"
+            spec.impl == "xla"
             or cfg.head_dim % 128 != 0
             or spec.disable_hydragen
         ):
             return False
-        if spec.impl == "pallas":
-            return True
-        m_fold = (nh // nkv) * (b // sb) * t
         from hydragen_tpu.ops.hydragen import pallas_wins
 
-        return pallas_wins(m_fold, fl)
+        if spec.sharded:
+            if mesh is None or not _mesh_kernels_on():
+                return False
+            from hydragen_tpu.parallel.shard_attn import (
+                mesh_shared_cached_eligible,
+            )
+
+            if not mesh_shared_cached_eligible(
+                mesh, b, nh, nkv, sb, lv.max_batch_size, lv.max_seq_len
+            ):
+                return False
+            if spec.impl == "pallas":
+                return "mesh"
+            dp = mesh.shape["dp"] if "dp" in mesh.axis_names else 1
+            sp = mesh.shape["sp"] if "sp" in mesh.axis_names else 1
+            sb_loc = sb // dp if (dp > 1 and sb % dp == 0) else sb
+            m_fold_loc = (nh // nkv) * (b // dp // sb_loc) * t
+            return "mesh" if pallas_wins(m_fold_loc, fl // sp) else False
+        if jax.default_backend() != "tpu":
+            return False
+        if spec.impl == "pallas":
+            return "local"
+        m_fold = (nh // nkv) * (b // sb) * t
+        return "local" if pallas_wins(m_fold, fl) else False
 
     shared_cached = tuple(
-        _shared_cached_ok(fl, sb)
-        for fl, sb in zip(spec.level_filled, level_sb)
+        _shared_cached_ok(lv, fl, sb)
+        for lv, fl, sb in zip(active_levels, spec.level_filled, level_sb)
     )
 
     level_ks = [
@@ -464,7 +498,22 @@ def model_forward(
         _os.environ.get("HYDRAGEN_W8A8_FAMILIES", "gate,up").split(",")
     )
 
-    def qmm(x, w, subscripts, family=None, li=None):
+    # Column-parallel families whose weights are actually tp-sharded: these
+    # keep the s8 GEMMs under a mesh via shard_map (parallel/shard_gemm.py)
+    # — the activation is tp-replicated so the shared row quantization is
+    # bitwise the single-chip one, and no collective is needed. Row-parallel
+    # families (o/down) measured faster on dq at decode M anyway.
+    _col_tp_fams = frozenset()
+    if spec.sharded and mesh is not None:
+        from hydragen_tpu.parallel.sharding import param_pspecs
+
+        _lp_specs = param_pspecs(cfg, mesh)["layers"]
+        _col_tp_fams = frozenset(
+            f for f in ("wq", "wk", "wv", "gate", "up")
+            if tuple(_lp_specs[f])[-1] == "tp"
+        )
+
+    def qmm(x, w, subscripts, family=None, li=None, memo=None):
         from hydragen_tpu.ops.quant import Quantized4Tensor
 
         impl = spec.matmul
@@ -485,31 +534,100 @@ def model_forward(
             # scalar prefetch — per-layer slices would be copied whole to
             # stage the pallas operand (OOM at 7B bs256, see
             # ops/quant.py qmatmul_stacked).
-            from hydragen_tpu.ops.quant import qmatmul_stacked
+            from hydragen_tpu.ops.quant import (
+                qmatmul_stacked,
+                s8_stacked_eligible,
+            )
 
-            return qmatmul_stacked(x, lp[family], li, subscripts, impl=impl)
+            def shared_quantize(x):
+                # Share the per-row activation quantization across
+                # projections consuming the same activation (q/k/v off one
+                # rmsnorm, gate/up off the other): the amax/divide pass
+                # otherwise re-runs per projection. Keyed by tracer
+                # identity; the memo pins x so the id cannot be recycled
+                # within a layer trace.
+                if memo is None:
+                    from hydragen_tpu.ops.gemm import quantize_rows
+
+                    return quantize_rows(x.reshape(-1, x.shape[-1]))
+                hit = memo.get(id(x))
+                if hit is None:
+                    from hydragen_tpu.ops.gemm import quantize_rows
+
+                    a_pre = quantize_rows(x.reshape(-1, x.shape[-1]))
+                    memo[id(x)] = (x, a_pre)
+                    return a_pre
+                return hit[1]
+
+            if spec.sharded:
+                from hydragen_tpu.parallel.shard_gemm import (
+                    mesh_s8_gemm_eligible,
+                    sharded_qmatmul_stacked,
+                )
+
+                if family in _col_tp_fams and mesh_s8_gemm_eligible(
+                    mesh, b, x.shape[-1], lp[family], impl
+                ):
+                    a_q, a_s = shared_quantize(x)
+                    w_st = lp[family]
+                    N = w_st.q.shape[1] if hasattr(w_st, "q") else w_st.qp.shape[1]
+                    y = sharded_qmatmul_stacked(
+                        li, a_q, a_s, w_st, mesh=mesh, impl=impl
+                    )
+                    return y.reshape(*x.shape[:-1], N).astype(x.dtype)
+                # Row-parallel / ineligible families: weight-only dq (the
+                # GSPMD-partitionable path).
+                return qmatmul(x, w, subscripts, impl="dq")
+            a_pre = (
+                shared_quantize(x)
+                if memo is not None and s8_stacked_eligible(x, lp[family], impl)
+                else None
+            )
+            return qmatmul_stacked(
+                x, lp[family], li, subscripts, impl=impl, a_pre=a_pre
+            )
         return qmatmul(x, w, subscripts, impl=impl)
 
     # Decode-kernel eligibility: int8 BSHD unique cache with lane-major flat
     # scales, single-token queries, prefix-length masking (the ring pool's
-    # wrapped windows stay on XLA), single chip. ``impl="xla"`` is the exact
-    # escape hatch (the kernel re-quantizes q and p, ~0.5 % RMS noise).
+    # wrapped windows stay on XLA). ``impl="xla"`` is the exact escape hatch
+    # (the kernel re-quantizes q and p, ~0.5 % RMS noise). Under a mesh the
+    # kernel runs per shard (sharded_decode_attention_cached): the cache
+    # keeps 4D scales there (flat lane-major scales fold heads into lanes,
+    # unsplittable by a head sharding) and the shard body flattens its
+    # LOCAL 4D shard for free.
     from hydragen_tpu.ops.decode import decode_kernel_supported
 
-    use_dec_kernel = (
+    _dec_common = (
         t == 1
         and cache.unique_bshd
-        and cache.flat_scales
         and spec.unique_history
         and history_mask is None
-        and not spec.sharded
         and spec.impl != "xla"
         and cfg.head_dim % 128 == 0
+    )
+    use_dec_kernel = (
+        _dec_common
+        and cache.flat_scales
+        and not spec.sharded
         # Mosaic scale-BlockSpec legality (round-3 sweep7b postmortem):
         # a legal row batch must exist for this (rows, buffer-rows) pair.
         and decode_kernel_supported(b, cache.unique_k.shape[1])
         and jax.default_backend() == "tpu"
     )
+    use_dec_kernel_mesh = False
+    if _dec_common and spec.sharded and mesh is not None and cache.quantized:
+        from hydragen_tpu.parallel.shard_attn import (
+            mesh_decode_kernel_eligible,
+        )
+
+        use_dec_kernel_mesh = (
+            not cache.flat_scales
+            and mesh_decode_kernel_eligible(
+                mesh, b, cache.unique_k.shape[1], nh, nkv, cache.unique_bits
+            )
+            and _mesh_kernels_on()
+        )
 
     def layer(h, xs):
         # NB: scatter-before-attend (write each layer's token, then read
@@ -518,12 +636,13 @@ def model_forward(
         # unique-cache DMA behind the same layer's qkv matmul and cost
         # ~4 ms/step at 7B bs256. Reads stay prefetchable; writes follow.
         (li, wq, wk, wv, wo, gate, up, down, in_n, post_n, biases, lvl_kv, ukv) = xs
+        memo = {}  # shared-activation quantization cache (see qmm)
         resid = h
         x = rms_norm(h, in_n, cfg.rms_norm_eps)
 
-        q = qmm(x, wq, "bth,hd->btd", family="wq", li=li)
-        k = qmm(x, wk, "bth,hd->btd", family="wk", li=li)
-        v = qmm(x, wv, "bth,hd->btd", family="wv", li=li)
+        q = qmm(x, wq, "bth,hd->btd", family="wq", li=li, memo=memo)
+        k = qmm(x, wk, "bth,hd->btd", family="wk", li=li, memo=memo)
+        v = qmm(x, wv, "bth,hd->btd", family="wv", li=li, memo=memo)
         if has_bias:
             bq, bk, bv, bo = biases
             q, k, v = q + bq, k + bk, v + bv
@@ -543,6 +662,22 @@ def model_forward(
             if not spec.disable_hydragen:
                 for j, ((lk, lv_), lens) in enumerate(zip(lvl_kv, level_lens)):
                     sb = level_sb[j]
+                    if shared_cached[j] == "mesh":
+                        # Per-shard cached kernel (fold happens inside the
+                        # shard body; outputs come back unfolded).
+                        from hydragen_tpu.parallel.shard_attn import (
+                            sharded_shared_cached_attention,
+                        )
+
+                        lvl = active_levels[j]
+                        o, l = sharded_shared_cached_attention(
+                            li, q, lvl.k, lvl.v, lens, mesh=mesh,
+                            k_scale_all=lvl.k_scale,
+                            v_scale_all=lvl.v_scale,
+                        )
+                        outs.append(o)
+                        lses.append(l)
+                        continue
                     if shared_cached[j]:
                         from hydragen_tpu.ops.flash import (
                             flash_attention_cached_bhsd,
@@ -589,7 +724,7 @@ def model_forward(
                 uks = ukv[0][1]
                 uvs = ukv[1][1]
                 if (
-                    use_dec_kernel
+                    (use_dec_kernel or use_dec_kernel_mesh)
                     and uks is not None
                     and t == 1
                 ):
@@ -598,10 +733,6 @@ def model_forward(
                     # prefetch): feeding per-layer slices instead made
                     # XLA materialize the whole 67 MB slice per operand
                     # per layer (~13 ms/step at 7B bs256).
-                    from hydragen_tpu.ops.decode import (
-                        decode_attention_cached,
-                    )
-
                     # Fused epilogue: this step's own-token KV rides in
                     # as one extra softmax column per row and the shared
                     # partial(s) merge via LSE at emit — the kernel
@@ -615,15 +746,35 @@ def model_forward(
                         sh = (outs[0], lses[0])
                     else:
                         sh = None
-                    attn, _ = decode_attention_cached(
-                        li, q, cache.unique_k, cache.unique_v,
-                        kv_seq_lens=history_lens,
-                        k_scale_all=cache.unique_k_scale,
-                        v_scale_all=cache.unique_v_scale,
-                        own_kv=(k, v),
-                        shared_partial=sh,
-                        kv_bits=cache.unique_bits,
-                    )
+                    if use_dec_kernel_mesh:
+                        from hydragen_tpu.parallel.shard_attn import (
+                            sharded_decode_attention_cached,
+                        )
+
+                        attn, _ = sharded_decode_attention_cached(
+                            li, q, cache.unique_k, cache.unique_v,
+                            kv_seq_lens=history_lens,
+                            k_scale4_all=cache.unique_k_scale,
+                            v_scale4_all=cache.unique_v_scale,
+                            mesh=mesh,
+                            own_kv=(k, v),
+                            shared_partial=sh,
+                            kv_bits=cache.unique_bits,
+                        )
+                    else:
+                        from hydragen_tpu.ops.decode import (
+                            decode_attention_cached,
+                        )
+
+                        attn, _ = decode_attention_cached(
+                            li, q, cache.unique_k, cache.unique_v,
+                            kv_seq_lens=history_lens,
+                            k_scale_all=cache.unique_k_scale,
+                            v_scale_all=cache.unique_v_scale,
+                            own_kv=(k, v),
+                            shared_partial=sh,
+                            kv_bits=cache.unique_bits,
+                        )
                 else:
                     if uks is not None and cache.flat_scales:
                         # Per-layer flat slice [b, U*nkv] -> the XLA
@@ -679,18 +830,18 @@ def model_forward(
                 attn = combine_lse(outs, lses)
 
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
-        attn = qmm(attn, wo, "btd,dh->bth", family="wo", li=li)
+        attn = qmm(attn, wo, "btd,dh->bth", family="wo", li=li, memo=memo)
         if has_bias:
             attn = attn + biases[3]
         h = resid + attn
 
         resid = h
         x = rms_norm(h, post_n, cfg.rms_norm_eps)
-        g = qmm(x, gate, "bth,hi->bti", family="gate", li=li)
-        u = qmm(x, up, "bth,hi->bti", family="up", li=li)
+        g = qmm(x, gate, "bth,hi->bti", family="gate", li=li, memo=memo)
+        u = qmm(x, up, "bth,hi->bti", family="up", li=li, memo=memo)
         m = qmm(
             jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, down,
-            "bti,ih->bth", family="down", li=li,
+            "bti,ih->bth", family="down", li=li, memo=memo,
         )
         h = resid + m
 

