@@ -485,17 +485,18 @@ def model_forward(
     lp = params["layers"]
     has_bias = "bq" in lp
 
-    # Per-projection-family w8a8 routing, from the measured M=256 7B GEMM
-    # ladder (results/r3_measure/gemm.log): the s8 MXU GEMM wins only where
-    # N >> K (gate/up 100 vs 140 us incl. row quantize); square (q/k/v/o:
-    # 35 vs 50 us) and K-heavy (down: 153 vs 188 us) projections are faster
-    # on the weight-only dq path at decode M. HYDRAGEN_W8A8_FAMILIES
-    # overrides (comma list or "all"); read at trace time like the kernel
-    # tile knobs.
+    # Per-projection-family w8a8 routing. History: the round-3 M=256 ladder
+    # (results/r3_measure/gemm.log) had the s8 GEMM winning only where
+    # N >> K (gate/up) because its numbers INCLUDED a per-projection
+    # activation quantize; with the quantize shared per activation (round
+    # 5, the memo below) every family flips — measured end-to-end at the 7B
+    # north star: all 7,758 tok/s vs gate,up 7,259 vs qkv+gate/up 7,475
+    # (results/r5_measure/bench_w8a8*). HYDRAGEN_W8A8_FAMILIES overrides
+    # (comma list or "all"); read at trace time like the kernel tile knobs.
     import os as _os
 
     _w8a8_fams = frozenset(
-        _os.environ.get("HYDRAGEN_W8A8_FAMILIES", "gate,up").split(",")
+        _os.environ.get("HYDRAGEN_W8A8_FAMILIES", "all").split(",")
     )
 
     # Column-parallel families whose weights are actually tp-sharded: these

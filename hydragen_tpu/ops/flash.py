@@ -57,6 +57,11 @@ LANES = 128
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 
+# Row-block height for 2D per-token scale operands (see _kernel scale_row):
+# 8 sublanes is always Mosaic-legal and each 8-cell group of the grid
+# shares one block, so the extra DMA is bounded at 8x a tiny stream.
+SCALE_ROWS = 8
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -91,8 +96,9 @@ def _kernel(
     q_ref,     # [1, block_m, dp]
     k_ref,     # [1, block_k, dp]  (int8 when quantized)
     v_ref,     # [1, block_k, dp]
-    *rest,     # [kscale_ref, vscale_ref (each [1, 1, block_k] f32)] when
-               # quantized, then o_ref, lse_ref, m_scr, l_scr, acc_scr
+    *rest,     # [kscale_ref, vscale_ref] when quantized (each
+               # [SCALE_ROWS, block_k] f32 when scale_row is given, else
+               # [1, 1, block_k]), then o_ref, lse_ref, m_scr, l_scr, acc_scr
     hkv: int,
     q_len: int,
     kv_len: int,
@@ -102,9 +108,28 @@ def _kernel(
     causal: bool,
     scale: float,
     quantized: bool = False,
+    scale_row=None,
 ):
+    """``scale_row``: when given, the per-token dequant scales arrive as 2D
+    ``[SCALE_ROWS, block_k]`` blocks of the flat ``[rows, s]`` scale array
+    (a FREE leading-merge reshape of the stored layout) and this callable
+    returns the block-local row to read. The previous ``[rows, 1, s]``
+    unit-middle-dim operand forced XLA to stage the whole array in a
+    degenerate T(1,128) layout (~13 ms per 8 MB array per staging at the 7B
+    level scales, r5 trace). Unit-dim path kept for rows % SCALE_ROWS != 0.
+    """
     if quantized:
         kscale_ref, vscale_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+
+        def k_scale_row():
+            if scale_row is not None:
+                return kscale_ref[pl.ds(scale_row(), 1), :]  # [1, block_k]
+            return kscale_ref[0]
+
+        def v_scale_row():
+            if scale_row is not None:
+                return vscale_ref[pl.ds(scale_row(), 1), :]
+            return vscale_ref[0]
     else:
         o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
 
@@ -157,7 +182,7 @@ def _kernel(
         if scale != 1.0:  # wrappers pre-scale q by scale*LOG2E; direct
             s = s * scale  # callers must fold LOG2E into `scale` themselves
         if quantized:
-            s = s * kscale_ref[0]  # [1, block_k] broadcast over rows
+            s = s * k_scale_row()  # [1, block_k] broadcast over rows
 
         def update(s, p_cols, v_zero):
             """Online-softmax step in exp2 space (s carries LOG2E from the q
@@ -209,7 +234,7 @@ def _kernel(
 
         @pl.when(is_full)
         def _full():
-            update(s, (lambda: vscale_ref[0]) if quantized else None, False)
+            update(s, v_scale_row if quantized else None, False)
 
         @pl.when(jnp.logical_not(is_full))
         def _partial():
@@ -228,7 +253,7 @@ def _kernel(
                 # Zero scales past the row's length: the final partial block
                 # may read unspecified (NaN) padding and p==0 there would
                 # not save the product.
-                vs = vscale_ref[0]
+                vs = v_scale_row()
                 return jnp.where(
                     block_start
                     + jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
@@ -252,8 +277,9 @@ def _decode_kernel(
     q_ref,     # [R, Mp, dp]
     k_ref,     # [R, block_k, dp]  (int8 when quantized)
     v_ref,     # [R, block_k, dp]
-    *rest,     # [kscale_ref, vscale_ref (each [R, 1, block_k] f32)] when
-               # quantized, then o_ref, lse_ref, m_scr, l_scr, acc_scr
+    *rest,     # [kscale_ref, vscale_ref] when quantized (each
+               # [R, block_k] f32 when scales_2d else [R, 1, block_k]),
+               # then o_ref, lse_ref, m_scr, l_scr, acc_scr
     hkv: int,
     rows: int,      # R: batch-rows per grid cell
     mp: int,        # padded M per row
@@ -261,6 +287,7 @@ def _decode_kernel(
     num_kv_blocks: int,
     scale: float,
     quantized: bool = False,
+    scales_2d: bool = False,
 ):
     """Row-batched decode attention (non-causal, length-masked).
 
@@ -307,7 +334,8 @@ def _decode_kernel(
         if quantized:
             # Per-token dequant scale, flattened to the score-column layout
             # (block-diagonal: column c belongs to row c // block_k).
-            s = s * _flatten_rows_to_lanes(kscale_ref[:, 0], rows, block_k)
+            ks = kscale_ref[...] if scales_2d else kscale_ref[:, 0]
+            s = s * _flatten_rows_to_lanes(ks, rows, block_k)
 
         mrows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -338,7 +366,8 @@ def _decode_kernel(
         v = v_ref[...].reshape(rows * block_k, v_ref.shape[-1])
         if quantized:
             v = v.astype(q.dtype)
-            vs = _flatten_rows_to_lanes(vscale_ref[:, 0], rows, block_k)
+            vs0 = vscale_ref[...] if scales_2d else vscale_ref[:, 0]
+            vs = _flatten_rows_to_lanes(vs0, rows, block_k)
             # Zero scales past each row's length (possible NaN padding in
             # the final partial block; p==0 would not save 0*NaN).
             vcols = jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
@@ -463,11 +492,13 @@ def flash_attention_bhsd(
     kp = kp.reshape(b * hkv, s, dp)
     vp = vp.reshape(b * hkv, s, dp)
     if quantized:
-        # The unit middle dim makes the block's last-two dims (1=full-dim,
-        # block_k) — the only Mosaic-legal way to ship a per-token scale
-        # *row* per grid cell without padding sublanes.
-        ks2 = k_scale.astype(jnp.float32).reshape(b * hkv, 1, s)
-        vs2 = v_scale.astype(jnp.float32).reshape(b * hkv, 1, s)
+        # Flat [rows, s] — a free leading-merge of the stored layout. The
+        # generic path ships SCALE_ROWS-row 2D blocks (dynamic row read,
+        # see _kernel scale_row); when the row count is not a legal sublane
+        # block it falls back to the [rows, 1, s] unit-middle-dim form,
+        # which costs a degenerate T(1,128) staging relayout.
+        ksf = k_scale.astype(jnp.float32).reshape(b * hkv, s)
+        vsf = v_scale.astype(jnp.float32).reshape(b * hkv, s)
 
     if kv_seq_lens is None:
         lens = jnp.full((b,), s, dtype=jnp.int32)
@@ -495,7 +526,7 @@ def flash_attention_bhsd(
                 qf, k, v, lens, hkv=hkv, group=group, m=m, mp=mp_dec,
                 rows=R, block_k=bk_dec, dp=dp, d=d, scale=scale,
                 interpret=interpret,
-                scales=(ks2, vs2) if quantized else None,
+                scales=(ksf, vsf) if quantized else None,
             )
 
     # NB: in BlockSpec index maps, scalar-prefetch refs come AFTER the grid
@@ -526,6 +557,9 @@ def flash_attention_bhsd(
     def scale_index(bh, mi, ki, lens_ref):
         return (bh, 0, jnp.minimum(ki, _last_block(bh, mi, lens_ref)))
 
+    def scale_index_2d(bh, mi, ki, lens_ref):
+        return (bh // SCALE_ROWS, jnp.minimum(ki, _last_block(bh, mi, lens_ref)))
+
     def out_index(bh, mi, ki, lens_ref):
         return (bh, mi, 0)
 
@@ -533,6 +567,7 @@ def flash_attention_bhsd(
         return (bh, mi, 0)
 
     grid = (b * hkv, Mp // block_m, num_kv_blocks)
+    scales_2d = quantized and (b * hkv) % SCALE_ROWS == 0
 
     kernel = functools.partial(
         _kernel,
@@ -545,6 +580,9 @@ def flash_attention_bhsd(
         causal=causal,
         scale=scale,
         quantized=quantized,
+        scale_row=(
+            (lambda: pl.program_id(0) % SCALE_ROWS) if scales_2d else None
+        ),
     )
 
     in_specs = [
@@ -554,11 +592,18 @@ def flash_attention_bhsd(
     ]
     operands = [lens, qp, kp, vp]
     if quantized:
-        in_specs += [
-            pl.BlockSpec((1, 1, block_k), scale_index),
-            pl.BlockSpec((1, 1, block_k), scale_index),
-        ]
-        operands += [ks2, vs2]
+        if scales_2d:
+            in_specs += [
+                pl.BlockSpec((SCALE_ROWS, block_k), scale_index_2d),
+                pl.BlockSpec((SCALE_ROWS, block_k), scale_index_2d),
+            ]
+            operands += [ksf, vsf]
+        else:
+            in_specs += [
+                pl.BlockSpec((1, 1, block_k), scale_index),
+                pl.BlockSpec((1, 1, block_k), scale_index),
+            ]
+            operands += [ksf.reshape(b * hkv, 1, s), vsf.reshape(b * hkv, 1, s)]
 
     out, lse = pl.pallas_call(
         kernel,
@@ -623,8 +668,17 @@ def _flash_decode_call(
     def kv_index(bi, ki, lens_ref):
         return (bi, jnp.minimum(ki, _last_block(bi, lens_ref)), 0)
 
+    # 2D flat scale blocks ([rows, block_k] of the [B, s] array — the stored
+    # layout, staged copy-free) whenever the row batch is a legal sublane
+    # block; the [B, 1, s] unit-dim fallback forces a degenerate T(1,128)
+    # staging relayout (see _kernel's scale_row note).
+    scales_2d = quantized and (rows % 8 == 0 or rows == B)
+
     def scale_index(bi, ki, lens_ref):
         return (bi, 0, jnp.minimum(ki, _last_block(bi, lens_ref)))
+
+    def scale_index_2d(bi, ki, lens_ref):
+        return (bi, jnp.minimum(ki, _last_block(bi, lens_ref)))
 
     kernel = functools.partial(
         _decode_kernel,
@@ -635,6 +689,7 @@ def _flash_decode_call(
         num_kv_blocks=num_kv_blocks,
         scale=scale,
         quantized=quantized,
+        scales_2d=scales_2d,
     )
 
     in_specs = [
@@ -644,11 +699,18 @@ def _flash_decode_call(
     ]
     operands = [lens, qp, kp, vp]
     if quantized:
-        in_specs += [
-            pl.BlockSpec((rows, 1, block_k), scale_index),
-            pl.BlockSpec((rows, 1, block_k), scale_index),
-        ]
-        operands += list(scales)
+        if scales_2d:
+            in_specs += [
+                pl.BlockSpec((rows, block_k), scale_index_2d),
+                pl.BlockSpec((rows, block_k), scale_index_2d),
+            ]
+            operands += list(scales)
+        else:
+            in_specs += [
+                pl.BlockSpec((rows, 1, block_k), scale_index),
+                pl.BlockSpec((rows, 1, block_k), scale_index),
+            ]
+            operands += [sc.reshape(B, 1, s) for sc in scales]
 
     out, lse = pl.pallas_call(
         kernel,
@@ -772,9 +834,14 @@ def flash_attention_cached_bhsd(
     # Leading-dim merges only — no copy of the stacked cache.
     kp = k_all.reshape(L * B_all, s, dp)
     vp = v_all.reshape(L * B_all, s, dp)
+    scales_2d = quantized and (L * B_all) % SCALE_ROWS == 0
     if quantized:
-        ks2 = k_scale_all.astype(jnp.float32).reshape(L * B_all, 1, s)
-        vs2 = v_scale_all.astype(jnp.float32).reshape(L * B_all, 1, s)
+        # Flat [L*B_all, s]: free leading-merge of the stored [L, sb, hkv, S]
+        # f32 scales. The old [L*B_all, 1, s] unit-dim operand made XLA stage
+        # the WHOLE array in a degenerate T(1,128) relayout (~13 ms per 8 MB
+        # array per staging at the 7B level scales, r5 trace).
+        ksf = k_scale_all.astype(jnp.float32).reshape(L * B_all, s)
+        vsf = v_scale_all.astype(jnp.float32).reshape(L * B_all, s)
 
     if kv_seq_lens is None:
         lens = jnp.full((b,), s, dtype=jnp.int32)
@@ -803,7 +870,20 @@ def flash_attention_cached_bhsd(
             jnp.minimum(ki, _last_block(bh, lens_ref)),
         )
 
+    def scale_index_2d(bh, mi, ki, lens_ref, li_ref):
+        return (
+            (li_ref[0] * B_all + bh) // SCALE_ROWS,
+            jnp.minimum(ki, _last_block(bh, lens_ref)),
+        )
+
     def _kernel_cached(lens_ref, li_ref, *args, **kw):
+        if scales_2d:
+            # Block-local scale row: absolute flat row modulo the block
+            # height (absolute-row arithmetic holds even when B_all is not
+            # a SCALE_ROWS multiple of the layer stride).
+            kw["scale_row"] = lambda: (
+                li_ref[0] * B_all + pl.program_id(0)
+            ) % SCALE_ROWS
         _kernel(lens_ref, *args, **kw)
 
     kernel = functools.partial(
@@ -826,11 +906,20 @@ def flash_attention_cached_bhsd(
     ]
     operands = [lens, li, qp, kp, vp]
     if quantized:
-        in_specs += [
-            pl.BlockSpec((1, 1, block_k), scale_index),
-            pl.BlockSpec((1, 1, block_k), scale_index),
-        ]
-        operands += [ks2, vs2]
+        if scales_2d:
+            in_specs += [
+                pl.BlockSpec((SCALE_ROWS, block_k), scale_index_2d),
+                pl.BlockSpec((SCALE_ROWS, block_k), scale_index_2d),
+            ]
+            operands += [ksf, vsf]
+        else:
+            in_specs += [
+                pl.BlockSpec((1, 1, block_k), scale_index),
+                pl.BlockSpec((1, 1, block_k), scale_index),
+            ]
+            operands += [
+                ksf.reshape(L * B_all, 1, s), vsf.reshape(L * B_all, 1, s)
+            ]
 
     out, lse = pl.pallas_call(
         kernel,

@@ -140,7 +140,7 @@ def _w8a8_cached_kernel(
     a_ref,       # [block_m, block_k] s8
     w_ref,       # [1, block_n, block_k] s8 — one layer's tile of [L, N, K]
     rs_ref,      # [block_m, 1] f32 row scales
-    cs_ref,      # [1, 1, block_n] f32 col scales
+    cs_ref,      # [L, block_n] f32 col scales — ALL layers' rows
     o_ref,       # [block_m, block_n] out dtype
     acc_scr,     # [block_m, block_n] i32
     *,
@@ -159,8 +159,16 @@ def _w8a8_cached_kernel(
 
     @pl.when(ki == num_k_blocks - 1)
     def _emit():
+        # Col scales ride in as a natural-layout f32 [L, N] array, this
+        # N block's column of every layer, with the layer row picked
+        # dynamically — the old [L, 1, N] unit-dim operand forced XLA to
+        # stage it in a degenerate T(1,128) layout (~13 ms per array per
+        # generate at 7B, r5 trace); the 2D form stages as one cheap
+        # streaming convert. f32 (not the raw bf16 param): Mosaic cannot
+        # dynamic-sublane-load packed 16-bit rows (r5 flat7b postmortem).
+        cs = cs_ref[pl.ds(li_ref[0], 1), :]
         o_ref[...] = (
-            acc_scr[...].astype(jnp.float32) * rs_ref[...] * cs_ref[0]
+            acc_scr[...].astype(jnp.float32) * rs_ref[...] * cs
         ).astype(o_ref.dtype)
 
 
@@ -207,7 +215,7 @@ def w8a8_matmul_cached(
 
     ap = jnp.pad(a_q, ((0, Mp - M), (0, 0)))
     rs = jnp.pad(a_scale.astype(jnp.float32), ((0, Mp - M), (0, 0)))
-    cs = w_scale_all.astype(jnp.float32).reshape(L, 1, N)
+    cs = w_scale_all.astype(jnp.float32)  # natural 2D layout (see kernel)
     li = jnp.reshape(layer, (1,)).astype(jnp.int32)
 
     grid = (Mp // block_m, N // block_n, K // block_k)
@@ -223,8 +231,11 @@ def w8a8_matmul_cached(
                              lambda mi, ni, ki, li_ref: (li_ref[0], ni, ki)),
                 pl.BlockSpec((block_m, 1),
                              lambda mi, ni, ki, li_ref: (mi, 0)),
-                pl.BlockSpec((1, 1, block_n),
-                             lambda mi, ni, ki, li_ref: (li_ref[0], 0, ni)),
+                # All layers' rows of this N block (L x block_n bf16 is
+                # tiny and the index map is li-independent, so the DMA
+                # happens once per (mi, ni)).
+                pl.BlockSpec((L, block_n),
+                             lambda mi, ni, ki, li_ref: (0, ni)),
             ],
             out_specs=pl.BlockSpec(
                 (block_m, block_n), lambda mi, ni, ki, li_ref: (mi, ni)
@@ -359,7 +370,7 @@ def w4a8_matmul(
 
     ap = jnp.pad(a_q, ((0, Mp - M), (0, 0)))
     rs = jnp.pad(a_scale.astype(jnp.float32), ((0, Mp - M), (0, 0)))
-    gs = w_gscale.astype(jnp.float32)
+    gs = w_gscale.astype(jnp.float32)  # 32-bit rows: dynamic sublane loads
 
     kb = Kp // block_kp           # packed K blocks == grid dim 2
     grid = (Mp // block_m, N // block_n, kb)
@@ -476,7 +487,7 @@ def w4a8_matmul_cached(
 
     ap = jnp.pad(a_q, ((0, Mp - M), (0, 0)))
     rs = jnp.pad(a_scale.astype(jnp.float32), ((0, Mp - M), (0, 0)))
-    gs = w_gscale_all.astype(jnp.float32)
+    gs = w_gscale_all.astype(jnp.float32)  # 32-bit rows: dynamic sublane loads
     li = jnp.reshape(layer, (1,)).astype(jnp.int32)
 
     kb = Kp // block_kp

@@ -183,13 +183,30 @@ def _swap_weight_term(subscripts: str) -> str:
     return f"{x_term},{w_term}->{out}"
 
 
+def _gemm_env_block(name: str) -> int | None:
+    import os
+
+    v = os.environ.get(name)
+    return int(v) if v else None
+
+
 def _w8a8_blocks(N: int, K: int):
-    """Largest Mosaic-friendly (block_n, block_k) tiling N and K, or None."""
+    """Largest Mosaic-friendly (block_n, block_k) tiling N and K, or None.
+
+    HYDRAGEN_GEMM_BLOCK_N/_K (read at trace time) prepend a candidate to
+    the ladder — the s8 GEMM sustains ~250 of the chip's ~394 TOP/s at the
+    decode M; fewer, larger blocks shorten the per-cell dot chain the i32
+    accumulator serializes (tuning knob for the r5 measurement plan)."""
     if N % 128 or K % 128:
         return None
-    bn = next(b for b in (512, 256, 128) if N % b == 0)
-    bk = next(b for b in (1024, 512, 256, 128) if K % b == 0)
-    return bn, bk
+    env_n, env_k = _gemm_env_block("HYDRAGEN_GEMM_BLOCK_N"), _gemm_env_block(
+        "HYDRAGEN_GEMM_BLOCK_K"
+    )
+    n_ladder = ([env_n] if env_n else []) + [512, 256, 128]
+    k_ladder = ([env_k] if env_k else []) + [1024, 512, 256, 128]
+    bn = next((b for b in n_ladder if N % b == 0), None)
+    bk = next((b for b in k_ladder if K % b == 0), None)
+    return None if bn is None or bk is None else (bn, bk)
 
 
 def _w4a8_blocks(N: int, K: int, group: int):
