@@ -98,9 +98,11 @@ def unchunk_kv_scales(chunked: jax.Array, c: int) -> jax.Array:
 def _row_sub_unroll(rows: int) -> int:
     """How many rows each fori-loop body traces back-to-back (see the
     sub-unroll note in ``_compute``). ``HYDRAGEN_DECODE_SUB`` caps it; the
-    value must divide ``rows``."""
+    value must divide ``rows``. Default 8 (round 5): bench 7,826 vs 7,758
+    tok/s at 4; the ~520 s cold Mosaic compile is amortized by the
+    persistent compile cache (set 4 for one-shot cold runs)."""
     env = os.environ.get("HYDRAGEN_DECODE_SUB")
-    cap = int(env) if env else 4
+    cap = int(env) if env else 8
     for s in (8, 4, 2):
         if s <= cap and rows % s == 0:
             return s

@@ -193,17 +193,21 @@ def _gemm_env_block(name: str) -> int | None:
 def _w8a8_blocks(N: int, K: int):
     """Largest Mosaic-friendly (block_n, block_k) tiling N and K, or None.
 
-    HYDRAGEN_GEMM_BLOCK_N/_K (read at trace time) prepend a candidate to
-    the ladder — the s8 GEMM sustains ~250 of the chip's ~394 TOP/s at the
-    decode M; fewer, larger blocks shorten the per-cell dot chain the i32
-    accumulator serializes (tuning knob for the r5 measurement plan)."""
+    Ladder heads (1024, 2048) are the measured r5 optimum: fewer, larger
+    blocks shorten the per-cell dot chain the i32 accumulator serializes —
+    M=256 ladder: qkv 32.9 us (261 TOP/s) vs 47-50 at (512, 1024); down
+    126 vs 188; e2e bench 8,456 vs 7,758 tok/s (results/r5_measure/
+    gemm_blocks_n1024, bench_all_n1024_bk2048). VMEM at the max tile:
+    (256x2048 a + 1024x2048 w) s8 triple-buffered + 256x1024 i32 acc
+    ~= 8.5 MB — inside the 16 MB scoped budget.
+    HYDRAGEN_GEMM_BLOCK_N/_K (read at trace time) prepend a candidate."""
     if N % 128 or K % 128:
         return None
     env_n, env_k = _gemm_env_block("HYDRAGEN_GEMM_BLOCK_N"), _gemm_env_block(
         "HYDRAGEN_GEMM_BLOCK_K"
     )
-    n_ladder = ([env_n] if env_n else []) + [512, 256, 128]
-    k_ladder = ([env_k] if env_k else []) + [1024, 512, 256, 128]
+    n_ladder = ([env_n] if env_n else []) + [1024, 512, 256, 128]
+    k_ladder = ([env_k] if env_k else []) + [2048, 1024, 512, 256, 128]
     bn = next((b for b in n_ladder if N % b == 0), None)
     bk = next((b for b in k_ladder if K % b == 0), None)
     return None if bn is None or bk is None else (bn, bk)

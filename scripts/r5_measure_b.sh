@@ -52,6 +52,20 @@ step bench_mixed_r5 5400 env HYDRAGEN_BENCH_QUANT=mixed python bench.py
 step bench_all_new128_kv4 7200 env HYDRAGEN_BENCH_KV=int4 \
   HYDRAGEN_BENCH_NEW=128 python bench.py
 
+# Lookahead=1 control on the refactored batcher (la2/la3 measured WORSE —
+# 1.49x/1.87x vs r4's 1.168x — retirement lag beats host slack; this
+# confirms depth 1 still reproduces r4's ratio on the same code).
+step serving_la1 7200 python scripts/serving_bench.py --chunk 32 \
+  --kv-quant int8 --lookahead 1
+
+# Hierarchy at 4x the batch (paper's ~1.8x is an 8xA100 large-batch
+# number; the r5 trace shows the 2-level machinery itself costs only
+# +8 %/step, so the gain should grow with the flattened baseline's
+# unique-read share).
+step hier_big 10800 python scripts/synth.py results/hier_r5_big \
+  --preset sheared-llama-1.3b --quantization int8 --kv-quant int8 \
+  --levels 2 --bs 256 --num-shared 2048 --num-unique 64 --mode all
+
 # flat7b re-runs (the originals raced a mid-plan edit that shipped bf16
 # col scales — Mosaic cannot dynamic-sublane-load packed 16-bit rows; the
 # operands are f32 now).
