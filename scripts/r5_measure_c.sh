@@ -35,6 +35,13 @@ step microbench_r5 10800 python scripts/microbenchmark.py \
   results/microbench_r5 --bs 512,2048 --num-shared 2048,8192 \
   --num-unique 128
 
+# Hierarchy at 4x the batch (re-run: the first attempt was skipped by an
+# HBM pre-flight that mis-priced level-1 as per-row unique KV for every
+# mode; fits_hbm now mirrors bench_point's actual allocation).
+step hier_big 10800 python scripts/synth.py results/hier_r5_big \
+  --preset sheared-llama-1.3b --quantization int8 --kv-quant int8 \
+  --levels 2 --bs 256 --num-shared 2048 --num-unique 64 --mode all
+
 step sweep7b_kv4_c 43200 python scripts/synth.py results/sweep_r5_7b \
   --preset llama-2-7b --quantization w8a8 --kv-quant int4 \
   --bs 32:256:x2 --num-shared 1024:16384:x4 --num-unique 128 --mode all

@@ -31,7 +31,7 @@ MODES = ("hydragen", "hydragen_noshared", "noattention", "hydragen_nohierarchy")
 
 
 def fits_hbm(cfg, quant, kv_quant, bs, ns, nu, mode, levels,
-             shared_int8=None) -> bool:
+             shared_int8=None, level2_bs=0) -> bool:
     """Pre-flight HBM estimate so paper-shape grids can include points the
     chip cannot host (the reference's noshared mode OOMs the same way at
     paper scale, synth.py:82-115) — they are skipped with a note instead of
@@ -51,17 +51,26 @@ def fits_hbm(cfg, quant, kv_quant, bs, ns, nu, mode, levels,
         shared_int8 = kv_quant is not None
     s_itemsize = 1 if shared_int8 else 2
     unique_len = nu + 8 + (ns if mode == "hydragen_noshared" else 0)
-    if levels == 2:
-        unique_len += max(16, ns // 8)
+    # Level-1 sub-prompts live in a SHARED level (stored once per prefix),
+    # except in the nohierarchy ablation where they flatten into each
+    # row's unique suffix — mirror bench_point exactly: the r5 hier_big
+    # arm was skipped by an estimate that charged level-1 per row for
+    # every mode AND double-counted it.
+    l2_len = max(16, ns // 8) if levels == 2 else 0
+    l2 = (level2_bs or max(1, int(bs ** 0.5))) if levels == 2 else 0
+    if mode == "hydragen_nohierarchy":
+        unique_len += l2_len
     # Unique tokens at kv precision; shared tokens at the (possibly
     # different) --shared-kv precision — mispricing here defeats the
     # pre-flight and the sweep crashes mid-run.
-    u_tokens = bs * unique_len + (max(16, ns // 8) * bs if levels == 2 else 0)
-    cache = int(L * u_tokens * per_tok * itemsize) + L * ns * per_tok * s_itemsize
+    u_tokens = bs * unique_len
+    shared_tokens = ns + l2 * l2_len
+    cache = int(L * u_tokens * per_tok * itemsize) \
+        + L * shared_tokens * per_tok * s_itemsize
     if kv_quant is not None:
         cache += L * u_tokens * cfg.num_key_value_heads * 2 * 4  # f32 scales
     if shared_int8:
-        cache += L * ns * cfg.num_key_value_heads * 2 * 4
+        cache += L * shared_tokens * cfg.num_key_value_heads * 2 * 4
     transient = 0
     if mode == "hydragen_noshared":  # copy_shared_to_unique's repeat
         transient = L * bs * ns * per_tok * itemsize
@@ -239,7 +248,7 @@ def main():
                 continue
             if not fits_hbm(engine.config, args.quantization,
                             args.kv_quant, bs, ns, nu, mode,
-                            args.levels,
+                            args.levels, level2_bs=args.level2_bs,
                             shared_int8={"follow": args.kv_quant is not None,
                                          "int8": True,
                                          "none": False}[args.shared_kv]):
