@@ -160,3 +160,66 @@ def test_decode_cached_int4_lowers():
         ),
         jnp.int32(0), q, kall, kall, lens, sc, sc, k1, k1, osh, lsh,
     )
+
+
+def test_w8a8_gemm_cached_r5_tiles_lowers():
+    """The r5 default tiles (block_n 1024, block_k 2048) and the full-L
+    dynamic-row col-scale block at 7B depth (L=32) must stay legal — the
+    flat7b postmortem: bf16 col-scale operands fail Mosaic's dynamic
+    sublane load (needs 32-bit rows), hence the f32 materialization."""
+    from hydragen_tpu.ops.gemm import w8a8_matmul_cached
+
+    aq = jnp.zeros((256, 4096), jnp.int8)
+    asc = jnp.zeros((256, 1), jnp.float32)
+    w_all = jnp.zeros((32, 11264, 4096), jnp.int8)
+    ws_all = jnp.zeros((32, 11264), jnp.bfloat16)
+    _lower(
+        lambda li, a, s, w, g: w8a8_matmul_cached(
+            li, a, s, w, g, block_n=1024, block_k=2048, interpret=False,
+        ),
+        jnp.int32(1), aq, asc, w_all, ws_all,
+    )
+
+
+def test_flash_2d_scale_blocks_lower():
+    """Round 5: per-token scales ride SCALE_ROWS-row 2D blocks of the flat
+    [rows, s] array (generic + cached + row-batched decode forms); the old
+    [rows, 1, s] unit-dim operand staged a degenerate T(1,128) relayout."""
+    import functools
+
+    from hydragen_tpu.ops.flash import (
+        flash_attention_bhsd,
+        flash_attention_cached_bhsd,
+    )
+
+    # Generic quantized path (rows = b*hkv = 32, a SCALE_ROWS multiple).
+    q = jnp.zeros((4, 8, 64, 128), jnp.bfloat16)
+    k = jnp.zeros((4, 8, 512, 128), jnp.int8)
+    sc = jnp.zeros((4, 8, 512), jnp.float32)
+    fn = functools.partial(flash_attention_bhsd, interpret=False)
+    _lower(
+        lambda q, k, v, ks, vs: fn(q, k, v, k_scale=ks, v_scale=vs),
+        q, k, k, sc, sc,
+    )
+
+    # Row-batched decode form (rows=16 per cell at B=32).
+    qd = jnp.zeros((4, 8, 1, 128), jnp.bfloat16)
+    _lower(
+        lambda q, k, v, ln, ks, vs: fn(
+            q, k, v, kv_seq_lens=ln, k_scale=ks, v_scale=vs
+        ),
+        qd, k, k, jnp.full((4,), 512, jnp.int32), sc, sc,
+    )
+
+    # Cached stacked-level form at the 7B level geometry.
+    fc = functools.partial(flash_attention_cached_bhsd, interpret=False)
+    qf = jnp.zeros((1, 32, 256, 128), jnp.bfloat16)
+    k_all = jnp.zeros((4, 1, 32, 2048, 128), jnp.int8)
+    sc_all = jnp.zeros((4, 1, 32, 2048), jnp.float32)
+    _lower(
+        lambda li, q, k, v, ln, ks, vs: fc(
+            li, q, k, v, kv_seq_lens=ln, k_scale_all=ks, v_scale_all=vs
+        ),
+        jnp.int32(1), qf, k_all, k_all, jnp.full((1,), 2048, jnp.int32),
+        sc_all, sc_all,
+    )
