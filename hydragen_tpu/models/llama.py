@@ -280,7 +280,9 @@ def _mesh_level_attn_ok(mesh, spec: ForwardSpec, b, hq, hkv, sb, s, m) -> bool:
     """Route this shared-level read through the shard_map'd Pallas kernel?
 
     Same shape thresholds as ``_pick_impl``'s auto rule, applied to the
-    PER-SHARD fold (local M = group * (b/dp/sb) * m, local S = s/sp)."""
+    PER-SHARD fold (local M = group * (b/dp)/sb_loc * m, local S = s/sp;
+    in the dp-sharded-sb mode sb_loc = sb/dp, so the per-shard fold M is
+    b/sb — using the GLOBAL sb here under-estimated it by dp x)."""
     if mesh is None or not spec.sharded or spec.impl == "xla":
         return False
     from hydragen_tpu.parallel.shard_attn import mesh_attention_eligible
@@ -289,7 +291,8 @@ def _mesh_level_attn_ok(mesh, spec: ForwardSpec, b, hq, hkv, sb, s, m) -> bool:
         return False
     dp = mesh.shape["dp"] if "dp" in mesh.axis_names else 1
     sp = mesh.shape["sp"] if "sp" in mesh.axis_names else 1
-    m_loc = (hq // hkv) * (b // dp // sb) * m
+    sb_loc = sb // dp if (dp > 1 and sb % dp == 0) else sb
+    m_loc = (hq // hkv) * (b // dp // sb_loc) * m
     s_loc = s // sp
     from hydragen_tpu.ops.hydragen import pallas_wins
 
@@ -904,8 +907,13 @@ def model_forward(
     # plane-dequant emits ~45 MB bf16 transients per projection, and an
     # unrolled loop lets XLA keep many layers' transients alive at once
     # (HBM OOM at 7B bs256, results/r3_measure/bench_int4.log). The w4a8
-    # kernel path reads the packed payload directly and keeps the unroll.
-    int4_dq = isinstance(lp["wq"], Quantized4Tensor) and spec.matmul != "w4a8"
+    # kernel path reads the packed payload directly and keeps the unroll —
+    # EXCEPT under a mesh, where the row-parallel families (o/down) always
+    # fall back to the dq plane-dequant inside qmm and the rolled scan must
+    # stay (same transient-OOM mode).
+    int4_dq = isinstance(lp["wq"], Quantized4Tensor) and (
+        spec.matmul != "w4a8" or spec.sharded
+    )
     unroll = cfg.num_hidden_layers if (t == 1 and quantized and not int4_dq) else 1
     h, ((new_k, nks), (new_v, nvs)) = jax.lax.scan(layer, h, xs, unroll=unroll)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)

@@ -187,7 +187,12 @@ def _gemm_env_block(name: str) -> int | None:
     import os
 
     v = os.environ.get(name)
-    return int(v) if v else None
+    if not v:
+        return None
+    n = int(v)
+    # Silently ignore illegal overrides (the ladder falls back to legal
+    # defaults): sub-128 tiles cannot lane-tile and 0 would divide-by-zero.
+    return n if n >= 128 and n % 128 == 0 else None
 
 
 def _w8a8_blocks(N: int, K: int):

@@ -69,7 +69,6 @@ def mesh_s8_gemm_eligible(
     if impl == "w4a8" and isinstance(w_stacked, Quantized4Tensor) \
             and w_stacked.qp.ndim == 3:
         L, N, Kp = w_stacked.qp.shape
-        G = w_stacked.gscale.shape[-2]
         return (
             N % tp == 0
             and 2 * Kp == k_dim
