@@ -115,11 +115,12 @@ def main():
 
     # North-star config (BASELINE.md): INT8 weights + INT8 KV. Default
     # matmul mode is "w8a8" since round 4: same int8 weight storage, plus
-    # per-row dynamic activation int8 feeding the native s8 MXU on the
-    # measured-faster families (gate/up — models/llama.py qmm routing);
-    # the ce-delta quality gate passes at 0.0033 nats (threshold 0.015,
-    # outlier-injected — results/r3_measure/quality_w8a8.log). "int8" gives
-    # the weight-only path (round <=3 default, ~1 % slower).
+    # per-row dynamic activation int8 feeding the native s8 MXU — since
+    # round 5 on ALL projection families (the shared per-activation
+    # quantize flipped them; models/llama.py qmm routing); the ce-delta
+    # quality gate passes at 0.00044 nats (results/r5_measure/
+    # quality_final.log; the r3 outlier-injected gate passed at 0.0033 vs
+    # a 0.015 threshold). "int8" gives the weight-only path.
     quant = os.environ.get("HYDRAGEN_BENCH_QUANT", "w8a8")
     quant = None if quant in ("", "none") else quant
     kv_quant = os.environ.get("HYDRAGEN_BENCH_KV", "int8") or None

@@ -8,14 +8,15 @@ the reference's TP numbers assume the fast kernels run under TP
 ``*_cached`` GEMMs (ops/gemm.py) per shard.
 
 Scope: COLUMN-parallel families only (q/k/v/gate/up — output features over
-``tp``). That is exactly the set where w8a8 wins by the measured M=256
-family ladder (HYDRAGEN_W8A8_FAMILIES defaults to gate/up; qkv are
-col-parallel too if routed): the N dim partitions trivially, the activation
-is tp-replicated so the shared per-row quantization is bitwise identical to
-the single-chip path, and no collective is needed — the output stays
-tp-sharded, feeding the row-parallel (o/down) dq matmuls whose psum GSPMD
-already inserts. Row-parallel families measured FASTER on dq at decode M
-anyway (K-heavy down, square o), so they keep dq under a mesh by design.
+``tp``): the N dim partitions trivially, the activation is tp-replicated
+so the shared per-row quantization is bitwise identical to the
+single-chip path, and no collective is needed — the output stays
+tp-sharded, feeding the row-parallel (o/down) matmuls whose psum GSPMD
+already inserts. Row-parallel families keep the dq path under a mesh:
+partitioning their K-contracted GEMM would need an in-body psum of i32
+partials plus per-shard row scales, and the single-chip r5 win on o/down
+is the smallest of the families — a measured-candidate for a future
+round, not silently assumed.
 
 Weights are sp-replicated; each sp shard duplicates the GEMM. At decode the
 GEMM is weight-bandwidth-bound and every sp shard reads its own replica's
