@@ -508,6 +508,7 @@ def model_forward(
     # bitwise the single-chip one, and no collective is needed. Row-parallel
     # families (o/down) measured faster on dq at decode M anyway.
     _col_tp_fams = frozenset()
+    _row_tp_fams = frozenset()
     if spec.sharded and mesh is not None:
         from hydragen_tpu.parallel.sharding import param_pspecs
 
@@ -515,6 +516,13 @@ def model_forward(
         _col_tp_fams = frozenset(
             f for f in ("wq", "wk", "wv", "gate", "up")
             if tuple(_lp_specs[f])[-1] == "tp"
+        )
+        # Row-parallel families (input features over tp): each shard
+        # contributes a K-sliced w8a8 partial; the psum replaces the dq
+        # path's GSPMD all-reduce (shard_gemm.sharded_qmatmul_stacked_row).
+        _row_tp_fams = frozenset(
+            f for f in ("wo", "down")
+            if tuple(_lp_specs[f])[-2] == "tp"
         )
 
     def qmm(x, w, subscripts, family=None, li=None, memo=None):
@@ -566,7 +574,9 @@ def model_forward(
             if spec.sharded:
                 from hydragen_tpu.parallel.shard_gemm import (
                     mesh_s8_gemm_eligible,
+                    mesh_s8_gemm_row_eligible,
                     sharded_qmatmul_stacked,
+                    sharded_qmatmul_stacked_row,
                 )
 
                 if family in _col_tp_fams and mesh_s8_gemm_eligible(
@@ -579,7 +589,19 @@ def model_forward(
                         li, a_q, a_s, w_st, mesh=mesh, impl=impl
                     )
                     return y.reshape(*x.shape[:-1], N).astype(x.dtype)
-                # Row-parallel / ineligible families: weight-only dq (the
+                if family in _row_tp_fams and mesh_s8_gemm_row_eligible(
+                    mesh, b, x.shape[-1], lp[family], impl
+                ):
+                    # Per-shard K-slice quantization happens in-body (a
+                    # global-K row scale cannot be shared here), so no memo.
+                    w_st = lp[family]
+                    y = sharded_qmatmul_stacked_row(
+                        li, x.reshape(-1, x.shape[-1]), w_st, mesh=mesh
+                    )
+                    return y.reshape(
+                        *x.shape[:-1], w_st.q.shape[1]
+                    ).astype(x.dtype)
+                # Ineligible families/shapes: weight-only dq (the
                 # GSPMD-partitionable path).
                 return qmatmul(x, w, subscripts, impl="dq")
             a_pre = (

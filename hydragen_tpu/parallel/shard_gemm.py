@@ -7,16 +7,22 @@ the reference's TP numbers assume the fast kernels run under TP
 (/root/reference/hydragen/tp.py:84-112). These wrappers run the stacked
 ``*_cached`` GEMMs (ops/gemm.py) per shard.
 
-Scope: COLUMN-parallel families only (q/k/v/gate/up — output features over
-``tp``): the N dim partitions trivially, the activation is tp-replicated
-so the shared per-row quantization is bitwise identical to the
-single-chip path, and no collective is needed — the output stays
-tp-sharded, feeding the row-parallel (o/down) matmuls whose psum GSPMD
-already inserts. Row-parallel families keep the dq path under a mesh:
-partitioning their K-contracted GEMM would need an in-body psum of i32
-partials plus per-shard row scales, and the single-chip r5 win on o/down
-is the smallest of the families — a measured-candidate for a future
-round, not silently assumed.
+Two decompositions:
+
+- COLUMN-parallel (q/k/v/gate/up — output features over ``tp``,
+  ``sharded_qmatmul_stacked``): the N dim partitions trivially, the
+  activation is tp-replicated so the shared per-row quantization is
+  bitwise identical to the single-chip path, and no collective is needed
+  — the output stays tp-sharded.
+- ROW-parallel (o/down — input features over ``tp``,
+  ``sharded_qmatmul_stacked_row``): each shard quantizes its K-slice of
+  the activation per row (a per-shard row scale — the same noise class as
+  the global one) and contributes a fully-dequantized bf16 partial; the
+  exact psum over ``tp`` replaces the all-reduce GSPMD inserts for the dq
+  path, so the collective surface is unchanged (tp.py:84-112 contract,
+  pinned by tests/test_comm.py). INT4 row-parallel stays dq: the planar
+  nibble pack puts two non-contiguous K-ranges in each shard's payload
+  slice, which no contiguous activation sharding matches.
 
 Weights are sp-replicated; each sp shard duplicates the GEMM. At decode the
 GEMM is weight-bandwidth-bound and every sp shard reads its own replica's
@@ -143,3 +149,85 @@ def sharded_qmatmul_stacked(
         out_specs=P("dp", "tp"),
         check_rep=False,
     )(li, a_q, a_s, *w_ops)
+
+
+def mesh_s8_gemm_row_eligible(
+    mesh: Optional[Mesh], rows: int, k_dim: int, w_stacked, impl: str,
+) -> bool:
+    """Would ``sharded_qmatmul_stacked_row`` accept this (activation,
+    weight)? Row-parallel (input features over tp): w8a8 stacked
+    QuantizedTensor only (int4's planar pack cannot row-shard — see the
+    module docstring); each tp shard's K-slice must still tile the
+    kernel's K blocks and the full N must tile its lane blocks."""
+    from hydragen_tpu.ops.quant import (
+        QuantizedTensor,
+        _s8_interpret,
+        _w8a8_blocks,
+    )
+
+    if mesh is None or impl != "w8a8" or _s8_interpret() is False:
+        return False
+    dp, tp = _axis_size(mesh, "dp"), _axis_size(mesh, "tp")
+    if rows % dp:
+        return False
+    if not (isinstance(w_stacked, QuantizedTensor) and w_stacked.q.ndim == 3):
+        return False
+    L, N, K = w_stacked.q.shape
+    return (
+        K == k_dim
+        and K % tp == 0
+        and _w8a8_blocks(N, K // tp) is not None
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "interpret"))
+def sharded_qmatmul_stacked_row(
+    layer: jax.Array,
+    x: jax.Array,
+    w_stacked,
+    *,
+    mesh: Mesh,
+    interpret: Optional[bool] = None,
+):
+    """Row-parallel stacked w8a8 GEMM: K-sliced partial per tp shard, exact
+    bf16 psum.
+
+    x ``[M, K]`` float (rows over dp, K over tp — the layer body's
+    attention output / silu·up product is already head/channel-sharded
+    there); w_stacked a stacked QuantizedTensor whose INPUT features are
+    tp-sharded (payload ``[L, N, K]`` K-sharded; per-out-channel scales
+    replicated). Each shard quantizes its K-slice per row and emits a
+    fully-dequantized bf16 partial; the psum over tp is the same
+    per-sublayer all-reduce the dq path's GSPMD partition inserts.
+    Returns ``[M, N]`` bf16, rows over dp, replicated over tp.
+    """
+    from hydragen_tpu.ops.quant import _w8a8_blocks
+
+    tp = _axis_size(mesh, "tp")
+    li = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    M, K = x.shape
+    L, N, _ = w_stacked.q.shape
+    bn, bk = _w8a8_blocks(N, K // tp)
+
+    def body(li, x, wq, ws):
+        from hydragen_tpu.ops.gemm import quantize_rows, w8a8_matmul_cached
+
+        a_q, a_s = quantize_rows(x)
+        y = w8a8_matmul_cached(
+            li[0], a_q, a_s, wq, ws, block_n=bn, block_k=bk,
+            out_dtype=jnp.bfloat16, interpret=interpret,
+        )
+        if tp > 1:
+            y = jax.lax.psum(y, "tp")
+        return y
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(None), P("dp", "tp"),
+            P(None, None, "tp"), P(None, None),
+        ),
+        out_specs=P("dp", None),
+        check_rep=False,
+    )(li, x, w_stacked.q, w_stacked.scale)
