@@ -254,13 +254,19 @@ def _block_update(buf, val, start_idx):
     return jax.lax.dynamic_update_slice(buf, val.astype(buf.dtype), start_idx)
 
 
-def _nibble_rmw(buf, q4_val, idx, is_hi):
+def _nibble_rmw(buf, q4_val, idx, is_hi, old=None):
     """Write one decode token's int4 values as a NIBBLE of the byte row at
     ``idx`` (shape = q4_val.shape): the low-plane write clears the masked
     stale partner outright; the high-plane write merges over the live
     low-plane partner via a one-byte-row read. Shared by the batch-level
-    and per-layer in-place decode write paths — keep them in lock-step."""
-    old = jax.lax.dynamic_slice(buf, idx, q4_val.shape)
+    and per-layer in-place decode write paths — keep them in lock-step.
+
+    ``old`` lets the caller supply the byte row's current value (the TPU
+    in-place path reads it through ops.decode.gather_token_row_cached — an
+    XLA dynamic-slice here skews the whole buffer's layout assignment, see
+    that kernel's docstring); default is the plain dynamic-slice."""
+    if old is None:
+        old = jax.lax.dynamic_slice(buf, idx, q4_val.shape)
     o32, q32 = old.astype(jnp.int32), q4_val.astype(jnp.int32)
     new = jnp.where(is_hi, (o32 & 0xF) | (q32 << 4), q32 & 0xF)
     return jax.lax.dynamic_update_slice(buf, new.astype(jnp.int8), idx)
@@ -299,6 +305,32 @@ def fill_shared_level(
         v=_block_update(level.v, vq, zeros5),
         k_scale=None if ks is None else _block_update(level.k_scale, ks, zeros5[:4]),
         v_scale=None if vs is None else _block_update(level.v_scale, vs, zeros5[:4]),
+        seq_lens=level.seq_lens.at[:sb].set(seq_lens.astype(jnp.int32)),
+    )
+    shared = tuple(
+        new_level if i == level_idx else lv for i, lv in enumerate(cache.shared)
+    )
+    return cache._replace(shared=shared)
+
+
+def set_shared_level_buffers(
+    cache: KVCache,
+    level_idx: int,
+    k: jax.Array,
+    v: jax.Array,
+    k_scale: Optional[jax.Array],
+    v_scale: Optional[jax.Array],
+    seq_lens: jax.Array,
+) -> KVCache:
+    """Install fully-updated level buffers returned by the in-scan fill path
+    (model_forward ``fill_level`` — the layer scan wrote each layer's new KV
+    straight into the donated buffers, so no stacked new-KV array ever
+    existed; see fill_shared_level for the stacked-path counterpart)."""
+    level = cache.shared[level_idx]
+    assert k.shape == level.k.shape and v.shape == level.v.shape
+    sb = seq_lens.shape[0]
+    new_level = level._replace(
+        k=k, v=v, k_scale=k_scale, v_scale=v_scale,
         seq_lens=level.seq_lens.at[:sb].set(seq_lens.astype(jnp.int32)),
     )
     shared = tuple(
@@ -504,7 +536,8 @@ def update_unique_decode(
 
 
 def write_decode_token_layer(
-    cache: KVCache, layer: int, k: jax.Array, v: jax.Array, slot: jax.Array
+    cache: KVCache, layer: int, k: jax.Array, v: jax.Array, slot: jax.Array,
+    gather_kernel: bool = False,
 ) -> KVCache:
     """Write ONE layer's single decode token at a uniform ``slot``.
 
@@ -513,10 +546,15 @@ def write_decode_token_layer(
     materializing the stacked ``[L, b, hkv, 1, hd]`` new-KV array — profiling
     the 7B decode step showed the stack + relayout + whole-cache
     dynamic-update-slice chain costing >15 ms/step at batch 256.
+
+    ``gather_kernel`` (int4 BSHD on TPU): read the nibble RMW's byte row
+    through the Pallas row copy instead of an XLA dynamic-slice — the
+    slice's layout preference relayout-copied the whole cache at some
+    buffer shapes (see ops.decode.gather_token_row_cached).
     """
     kq, ks = _maybe_quantize(k, cache.quantized, cache.unique_bits)
     vq, vs = _maybe_quantize(v, cache.quantized, cache.unique_bits)
-    hkv = k.shape[1]
+    b, hkv = k.shape[0], k.shape[1]
     if cache.unique_bits == 4:
         # Same nibble discipline as update_unique_decode, one layer deep.
         sdim = 2 if cache.unique_bshd else 3
@@ -530,7 +568,12 @@ def write_decode_token_layer(
                 (layer, 0, row, 0, 0) if cache.unique_bshd
                 else (layer, 0, 0, row, 0)
             )
-            return _nibble_rmw(buf, val, idx, is_hi)
+            old = None
+            if gather_kernel and cache.unique_bshd:
+                from hydragen_tpu.ops.decode import gather_token_row_cached
+
+                old = gather_token_row_cached(layer, row, buf)[:b][None, :, None]
+            return _nibble_rmw(buf, val, idx, is_hi, old=old)
 
         if cache.flat_scales:
             sidx = (layer, 0, slot * hkv)

@@ -29,7 +29,7 @@ from hydragen_tpu.core.cache import (
     KVCache,
     allocate_cache,
     copy_shared_to_unique,
-    fill_shared_level,
+    set_shared_level_buffers,
     repeat_unique_for_samples,
     shared_len_for_batch,
     update_unique_decode,
@@ -140,16 +140,22 @@ def _shared_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, full_log
         local_pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)).astype(jnp.int32)
     pos = shared_lens[:, None] + local_pos
 
-    # Quantize new KV inside the layer scan when the level stores int8:
-    # the stacked bf16 transient of a long prefill otherwise dominates peak
-    # HBM (8.6 GB at 7B/16K — OOMed the round-4 sweep's 16K column).
+    # Quantize new KV inside the layer scan when the level stores int8 (the
+    # stacked bf16 transient of a long prefill otherwise dominates peak HBM
+    # — 8.6 GB at 7B/16K, OOMed the round-4 sweep's 16K column), and write
+    # each layer's KV straight into the level buffers inside the scan carry
+    # (fill_level): even the int8 stack is a full second copy of the level
+    # (4.4 GB at 7B/16K) living beside the destination until the post-scan
+    # fill — it kept the 16K x 7B cells "exceeds HBM" through round 5.
     level = cache.shared[spec.num_used_levels]
     qbits = 8 if level.quantized else None
-    hidden, nk, nv = model_forward(
+    hidden, (kb, vb, ksb, vsb) = model_forward(
         params, cfg, cache, input_ids, pos, local_pos, spec, mesh=mesh,
-        quantize_new_kv=qbits,
+        quantize_new_kv=qbits, fill_level=spec.num_used_levels,
     )
-    cache = fill_shared_level(cache, spec.num_used_levels, nk, nv, seq_lens)
+    cache = set_shared_level_buffers(
+        cache, spec.num_used_levels, kb, vb, ksb, vsb, seq_lens
+    )
     logits = logits_from_hidden(
         params, cfg, hidden, seq_lens if has_pad else None, full_logits
     )

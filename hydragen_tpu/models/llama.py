@@ -323,6 +323,7 @@ def model_forward(
     inplace_slot: jax.Array | None = None,
     mesh=None,
     quantize_new_kv: int | None = None,
+    fill_level: int | None = None,
 ):
     """Run the decoder stack in one of the three cache modes.
 
@@ -357,9 +358,23 @@ def model_forward(
             int8 payloads + f32 scales, letting the per-layer bf16 arrays
             die inside the scan.
 
+        fill_level: shared-prefill fast path — the index of the level being
+            prefilled. Each layer writes its new KV straight into the
+            level's (donated) buffers INSIDE the scan carry, so the stacked
+            ``[L, b, hkv, t, hd]`` new-KV array never exists: at 7B/16K
+            that stack is a second 4.3 GB copy of the level (int8, after
+            the in-scan quantization; 8.6 GB bf16 before it) living beside
+            the destination buffer until the post-scan fill — the term that
+            kept every 16K x 7B sweep cell "exceeds HBM" through round 5.
+            The level being filled is never read during its own prefill,
+            so every read precedes the first write and XLA keeps the
+            carry updates in place. Returns ``(hidden, (k_buf, v_buf,
+            k_scale_buf, v_scale_buf))`` — full updated level buffers.
+
     Returns:
         (hidden ``[b, t, H]``, new_k ``[L, b, hkv, t, hd]``, new_v likewise),
-        or ``(hidden, cache)`` when ``inplace_slot`` is given. With
+        ``(hidden, cache)`` when ``inplace_slot`` is given, or
+        ``(hidden, level_bufs)`` when ``fill_level`` is given. With
         ``quantize_new_kv``, new_k/new_v are ``(payload, scale)`` tuples
         (scale ``[L, b, hkv, t]`` f32).
     """
@@ -895,6 +910,68 @@ def model_forward(
         (uk, uv) if uk is not None else None,
     )
 
+    if fill_level is not None:
+        # Shared-prefill fast path: write each layer's new KV straight into
+        # the level's (donated) buffers inside the scan carry — the stacked
+        # [L, b, hkv, t, hd] new-KV array of the default path is a full
+        # second copy of the level living beside the destination until the
+        # post-scan fill (4.4 GB at 7B/16K int8 — the term that kept every
+        # 16K x 7B sweep cell "exceeds HBM" through round 5). The level
+        # being filled is never read during its own prefill (it is not in
+        # active_levels), so every read of the buffers precedes the first
+        # carry write and XLA keeps the updates in place.
+        assert inplace_slot is None
+        lvl_f = cache.shared[fill_level]
+        assert b <= lvl_f.max_batch_size and t <= lvl_f.max_seq_len
+        assert (quantize_new_kv == 8) == lvl_f.quantized, (
+            "fill_level expects quantize_new_kv to match the level store"
+        )
+
+        def layer_fill(carry, xs_li):
+            h, kb, vb, ksb, vsb = carry
+            li = xs_li[0]
+            h, ((kq, ks), (vq, vs)) = layer(h, xs_li)
+            idx = (li, 0, 0, 0, 0)
+            kb = jax.lax.dynamic_update_slice(kb, kq[None], idx)
+            vb = jax.lax.dynamic_update_slice(vb, vq[None], idx)
+            if ksb is not None:
+                ksb = jax.lax.dynamic_update_slice(ksb, ks[None], idx[:4])
+                vsb = jax.lax.dynamic_update_slice(vsb, vs[None], idx[:4])
+            return (h, kb, vb, ksb, vsb), None
+
+        init = (h, lvl_f.k, lvl_f.v, lvl_f.k_scale, lvl_f.v_scale)
+        (h, kb, vb, ksb, vsb), _ = jax.lax.scan(layer_fill, init, xs)
+        if spec.sharded and mesh is not None:
+            # Pin the outputs to the POST-FILL convention the decode step
+            # is compiled against: kv-heads over tp, sequence REPLICATED
+            # over sp/dp. (The stacked fill path ended here too — GSPMD
+            # dropped the allocation's sp seq split when writing the
+            # level — and test_comm's pinned 2-all-reduce/layer decode
+            # surface depends on it: an sp-sharded level makes the XLA
+            # decode read pay a 3-collective split-K softmax merge per
+            # layer. Levels are small by construction — replication over
+            # sp is the measured-right trade, and the shard_map'd level
+            # kernels slice a replicated buffer locally for free.)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from hydragen_tpu.parallel.sharding import cache_pspecs
+
+            head_shard = tuple(cache_pspecs(cfg, mesh, cache)
+                               .shared[fill_level].k)[2]
+
+            def wsc(x, nd):
+                if x is None:
+                    return None
+                s = P(*(head_shard if i == 2 else None for i in range(nd)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, s)
+                )
+
+            kb, vb = wsc(kb, 5), wsc(vb, 5)
+            ksb, vsb = wsc(ksb, 4), wsc(vsb, 4)
+        h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+        return h, (kb, vb, ksb, vsb)
+
     if inplace_slot is not None:
         # Decode fast path: Python loop (fully static per-layer slices), new
         # KVs written per layer AFTER the loop. All reads hit the original
@@ -905,13 +982,52 @@ def model_forward(
         assert t == 1, "inplace_slot is a single-token decode path"
         from hydragen_tpu.core.cache import write_decode_token_layer
 
+        pin4 = (
+            cache.unique_bits == 4
+            and not spec.sharded
+            and jax.default_backend() == "tpu"
+        )
+        if pin4:
+            # Pin the int4 cache buffers to the default descending layout
+            # inside the decode loop body. The nibble RMW's byte-row slab
+            # writes ([1, B, 1, hkv, hd] at a varying token row) make TPU
+            # layout assignment prefer a B-inner-of-token layout
+            # {4,3,1,2,0} for the whole DUS chain — and with it the while
+            # CARRY — at some buffer shapes (72 byte rows: yes; the bench
+            # shape's 64: no), while the Pallas decode kernel requires the
+            # default: the conflict materialized full 2.25 GB relayout
+            # copies of the cache at entry, exit, AND per Pallas operand
+            # (OOM at the 7B bs256 sweep cell,
+            # results/r5_measure/sweep7b_kv4_c.log + probe_layout.log).
+            # Constraining the value before the reads AND after every
+            # layer's write forces every link of the chain — hence the
+            # carry — to the default layout, where all the constraints
+            # are no-ops and no copy survives.
+            from jax.experimental.layout import Layout, with_layout_constraint
+
+            def pin(x):
+                return with_layout_constraint(
+                    x, Layout(major_to_minor=tuple(range(x.ndim)))
+                )
+
+            cache = cache._replace(
+                unique_k=pin(cache.unique_k), unique_v=pin(cache.unique_v)
+            )
+
         new_kvs = []
         for li in range(cfg.num_hidden_layers):
             xs_li = jax.tree.map(lambda a, li=li: a[li], xs)
             h, ((k1, _), (v1, _)) = layer(h, xs_li)
             new_kvs.append((k1, v1))
         for li, (k1, v1) in enumerate(new_kvs):
-            cache = write_decode_token_layer(cache, li, k1, v1, inplace_slot)
+            cache = write_decode_token_layer(
+                cache, li, k1, v1, inplace_slot, gather_kernel=pin4
+            )
+            if pin4:
+                cache = cache._replace(
+                    unique_k=pin(cache.unique_k),
+                    unique_v=pin(cache.unique_v),
+                )
         h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
         return h, cache
 

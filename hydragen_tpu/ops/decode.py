@@ -653,6 +653,66 @@ def decode_attention_cached(
     return out.astype(q.dtype), lse
 
 
+def gather_token_row_cached(
+    layer: jax.Array,
+    row: jax.Array,
+    buf: jax.Array,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Read byte row ``row`` of layer ``layer`` from a stacked BSHD cache
+    buffer ``[L, B, S, hkv, d]`` -> ``[B, hkv, d]``, via a one-block Pallas
+    copy instead of an XLA dynamic-slice.
+
+    Exists for exactly one reason: the int4 in-place decode write's nibble
+    RMW needs the byte row's current value, and an XLA dynamic-slice of a
+    ``[1, B, 1, hkv, d]`` slab at a varying token row makes TPU layout
+    assignment prefer a B-inner-of-token layout {4,3,1,2,0} for the WHOLE
+    buffer at some shapes (72 byte rows: yes; 64: no) — in tension with the
+    decode kernel's required default layout, it materialized full 2.25 GB
+    relayout copies of the cache per decode step and OOMed the 7B bs256
+    sweep cell (results/r5_measure/probe_layout*.log). A custom call is a
+    hard default-layout boundary on both sides, so reading the row here
+    leaves XLA with only dynamic-update-slices, which follow the (pinned)
+    default carry layout.
+    """
+    L, B, S, hkv, d = buf.shape
+    if interpret is None:
+        # Keyed on the actual devices, not jax.default_backend():
+        # test_decode_kernel force-routes the decode kernel on CPU by
+        # patching default_backend, and this helper must then interpret.
+        interpret = jax.devices()[0].platform != "tpu"
+    idx = jnp.stack(
+        [
+            jnp.asarray(layer, jnp.int32).reshape(()),
+            jnp.asarray(row, jnp.int32).reshape(()),
+        ]
+    )
+
+    def kern(idx_ref, in_ref, out_ref):
+        del idx_ref
+        out_ref[...] = in_ref[0, :, 0]
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, B, 1, hkv, d),
+                    lambda i, idx_ref: (idx_ref[0], 0, idx_ref[1], 0, 0),
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (B, hkv, d), lambda i, idx_ref: (0, 0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, hkv, d), buf.dtype),
+        interpret=interpret,
+    )(idx, buf)
+
+
 def decode_attention_bshd(
     q: jax.Array,
     k: jax.Array,

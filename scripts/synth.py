@@ -74,13 +74,14 @@ def fits_hbm(cfg, quant, kv_quant, bs, ns, nu, mode, levels,
     transient = 0
     if mode == "hydragen_noshared":  # copy_shared_to_unique's repeat
         transient = L * bs * ns * per_tok * itemsize
-    # Prefill new-KV transient: the layer scan stacks all layers' new KV
-    # before the cache write — quantized in-scan when the target store is
-    # quantized (model_forward quantize_new_kv; int8 payload + f32 scales),
-    # bf16 otherwise. The 7B/16K column OOMed on exactly this term before
-    # the in-scan path (results/r4_measure/sweep7b.log).
+    # Shared-prefill new-KV transient: ONE layer's worth. The fill_level
+    # scan (model_forward) writes each layer's KV straight into the level
+    # buffers inside the carry, so the stacked [L, ...] array — a full
+    # second copy of the level beside the destination (4.4 GB at 7B/16K
+    # int8) that kept every 16K x 7B cell "exceeds HBM" through round 5 —
+    # never exists.
     sp_item = (1 + 4 / cfg.head_dim) if shared_int8 else 2
-    transient = max(transient, int(L * ns * per_tok * sp_item))
+    transient = max(transient, int(ns * per_tok * sp_item))
     if mode == "hydragen_noshared":
         # int4 emits UNPACKED int8 values in-scan (packing happens at the
         # cache write), so the transient is 1 byte/value for any kv_quant.

@@ -437,3 +437,22 @@ def test_engine_decode_int4_uses_kernel_and_matches_xla():
     l_xla = run("xla")
     for a, b in zip(l_kernel, l_xla):
         assert np.abs(a - b).mean() < 0.05 * np.abs(a).mean() + 0.05
+
+
+def test_gather_token_row_cached_interpret():
+    """The Pallas byte-row copy (the int4 in-place write's RMW read — an
+    XLA dynamic-slice there relayout-copies the whole cache at some buffer
+    shapes, see the kernel docstring) must return buf[layer, :, row]."""
+    from hydragen_tpu.ops.decode import gather_token_row_cached
+
+    rng = np.random.RandomState(0)
+    buf = jnp.asarray(
+        rng.randint(-128, 128, (3, 16, 72, 8, 128)), jnp.int8
+    )
+    for li, row in ((0, 0), (2, 71), (1, 37)):
+        got = gather_token_row_cached(
+            jnp.int32(li), jnp.int32(row), buf, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(buf[li, :, row])
+        )
