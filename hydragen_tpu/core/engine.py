@@ -18,6 +18,8 @@ overhead per token.
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 from typing import List, Optional, Sequence, Union
 
@@ -29,6 +31,7 @@ from hydragen_tpu.core.cache import (
     KVCache,
     allocate_cache,
     copy_shared_to_unique,
+    fill_shared_level,
     set_shared_level_buffers,
     repeat_unique_for_samples,
     shared_len_for_batch,
@@ -142,20 +145,37 @@ def _shared_prefill_step(params, cache, input_ids, seq_lens, cfg, spec, full_log
 
     # Quantize new KV inside the layer scan when the level stores int8 (the
     # stacked bf16 transient of a long prefill otherwise dominates peak HBM
-    # — 8.6 GB at 7B/16K, OOMed the round-4 sweep's 16K column), and write
-    # each layer's KV straight into the level buffers inside the scan carry
-    # (fill_level): even the int8 stack is a full second copy of the level
-    # (4.4 GB at 7B/16K) living beside the destination until the post-scan
+    # — 8.6 GB at 7B/16K, OOMed the round-4 sweep's 16K column). When even
+    # the POST-quantize stack is HBM-material, additionally write each
+    # layer's KV straight into the level buffers inside the scan carry
+    # (fill_level): the stack is a full second copy of the level (4.4 GB
+    # at 7B/16K int8) living beside the destination until the post-scan
     # fill — it kept the 16K x 7B cells "exceeds HBM" through round 5.
+    # Size-gated because the stacked path measured ~1 % faster end-to-end
+    # at the 2K north star (8,527 vs 8,42x-8,47x tok/s) — small prefills
+    # keep it; the threshold only needs to separate "noise" from "OOM".
     level = cache.shared[spec.num_used_levels]
     qbits = 8 if level.quantized else None
-    hidden, (kb, vb, ksb, vsb) = model_forward(
-        params, cfg, cache, input_ids, pos, local_pos, spec, mesh=mesh,
-        quantize_new_kv=qbits, fill_level=spec.num_used_levels,
+    L = cfg.num_hidden_layers
+    stack_bytes = (
+        L * b * cfg.num_key_value_heads * t * cfg.head_dim
+        * (1 + 4 / cfg.head_dim if qbits else 2) * 2  # k and v
     )
-    cache = set_shared_level_buffers(
-        cache, spec.num_used_levels, kb, vb, ksb, vsb, seq_lens
-    )
+    fill_min = float(os.environ.get("HYDRAGEN_FILL_LEVEL_MIN_MB", "768"))
+    if stack_bytes > fill_min * 1e6:
+        hidden, (kb, vb, ksb, vsb) = model_forward(
+            params, cfg, cache, input_ids, pos, local_pos, spec, mesh=mesh,
+            quantize_new_kv=qbits, fill_level=spec.num_used_levels,
+        )
+        cache = set_shared_level_buffers(
+            cache, spec.num_used_levels, kb, vb, ksb, vsb, seq_lens
+        )
+    else:
+        hidden, nk, nv = model_forward(
+            params, cfg, cache, input_ids, pos, local_pos, spec, mesh=mesh,
+            quantize_new_kv=qbits,
+        )
+        cache = fill_shared_level(cache, spec.num_used_levels, nk, nv, seq_lens)
     logits = logits_from_hidden(
         params, cfg, hidden, seq_lens if has_pad else None, full_logits
     )

@@ -97,11 +97,13 @@ def test_fill_level_matches_stacked_path(quantized):
         )
 
 
-def test_engine_shared_prefill_uses_fill_path_hierarchy():
-    """Two-level append_shared through the engine (the path the jitted
-    _shared_prefill_step now routes through fill_level) still yields a
-    working hierarchy: level-1 prefill attends level-0 through the views
-    while level-1's own buffers ride the scan carry."""
+def test_engine_shared_prefill_uses_fill_path_hierarchy(monkeypatch):
+    """Two-level append_shared through the engine with the fill_level route
+    forced (the production gate picks it only above ~768 MB of stacked
+    new-KV — HYDRAGEN_FILL_LEVEL_MIN_MB=0 forces it at test scale) still
+    yields a working hierarchy: level-1 prefill attends level-0 through the
+    views while level-1's own buffers ride the scan carry."""
+    monkeypatch.setenv("HYDRAGEN_FILL_LEVEL_MIN_MB", "0")
     params = init_params(CFG, jax.random.PRNGKey(1))
     eng = HydragenLlama(CFG, params)
     eng.setup_caches(4, 16, [1, 2, 2], [24, 12, 8])
