@@ -419,6 +419,7 @@ def update_unique_decode(
     k: jax.Array,
     v: jax.Array,
     uniform: bool = False,
+    gather_kernel: bool = False,
 ) -> KVCache:
     """Write one decode-step token per row at per-row ``positions``.
 
@@ -430,6 +431,10 @@ def update_unique_decode(
     ``dynamic_update_slice`` touching only the new token's bytes. The general
     per-row scatter rewrites whole cache tiles on TPU, so the engine tracks
     raggedness and picks the path statically.
+
+    ``gather_kernel`` (int4 BSHD on TPU): as in write_decode_token_layer —
+    the nibble RMW's byte-row read goes through the Pallas row copy so the
+    dynamic-slice cannot skew the whole buffer's layout assignment.
     """
     kq, ks = _maybe_quantize(k, cache.quantized, cache.unique_bits)
     vq, vs = _maybe_quantize(v, cache.quantized, cache.unique_bits)
@@ -448,13 +453,20 @@ def update_unique_decode(
             row = jnp.mod(pos, sp).astype(jnp.int32)
             is_hi = pos >= sp
 
+            b = k.shape[1]
+
             def nibble_write(buf, q4):
                 val = q4.transpose(0, 1, 3, 2, 4) if cache.unique_bshd else q4
                 idx = (
                     (0, 0, row, 0, 0) if cache.unique_bshd
                     else (0, 0, 0, row, 0)
                 )
-                return _nibble_rmw(buf, val, idx, is_hi)
+                old = None
+                if gather_kernel and cache.unique_bshd:
+                    from hydragen_tpu.ops.decode import gather_token_row_cached
+
+                    old = gather_token_row_cached(None, row, buf)[:, :b, None]
+                return _nibble_rmw(buf, val, idx, is_hi, old=old)
 
             if cache.flat_scales:
                 sidx = (0, 0, pos * hkv)

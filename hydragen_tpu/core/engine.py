@@ -260,7 +260,35 @@ def _decode_steps(
                 params, cfg, cache, tok, pos, upos[:, None], spec,
                 history_lens=upos, mesh=mesh,
             )
-            cache = update_unique_decode(cache, upos, nk, nv, uniform=uniform_pos)
+            # Same int4 layout defenses as the in-place path (see
+            # models/llama.py pin4): byte-row reads via the Pallas row
+            # copy + default-layout pins on the written buffers, so the
+            # nibble RMW cannot flip the scan carry to the B-inner layout
+            # that relayout-copies the whole cache per step.
+            pin4 = (
+                uniform_pos
+                and cache.unique_bits == 4
+                and cache.unique_bshd
+                and not spec.sharded
+                and jax.default_backend() == "tpu"
+            )
+            cache = update_unique_decode(
+                cache, upos, nk, nv, uniform=uniform_pos, gather_kernel=pin4
+            )
+            if pin4:
+                from jax.experimental.layout import (
+                    Layout,
+                    with_layout_constraint,
+                )
+
+                def pin(x):
+                    return with_layout_constraint(
+                        x, Layout(major_to_minor=tuple(range(x.ndim)))
+                    )
+
+                cache = cache._replace(
+                    unique_k=pin(cache.unique_k), unique_v=pin(cache.unique_v)
+                )
         # lm_head stays on the weight-only dq path even under w8a8: logits
         # feed sampling directly, the head is the quality-critical matmul,
         # and at decode it is <2 % of the step.

@@ -654,7 +654,7 @@ def decode_attention_cached(
 
 
 def gather_token_row_cached(
-    layer: jax.Array,
+    layer: jax.Array | None,
     row: jax.Array,
     buf: jax.Array,
     *,
@@ -662,7 +662,10 @@ def gather_token_row_cached(
 ) -> jax.Array:
     """Read byte row ``row`` of layer ``layer`` from a stacked BSHD cache
     buffer ``[L, B, S, hkv, d]`` -> ``[B, hkv, d]``, via a one-block Pallas
-    copy instead of an XLA dynamic-slice.
+    copy instead of an XLA dynamic-slice. ``layer=None`` reads the row of
+    EVERY layer -> ``[L, B, hkv, d]`` (grid over L, one block each — a
+    single [L, B, 1, hkv, d] block would exceed scoped VMEM at 7B scale);
+    that form serves the batched decode write (update_unique_decode).
 
     Exists for exactly one reason: the int4 in-place decode write's nibble
     RMW needs the byte row's current value, and an XLA dynamic-slice of a
@@ -682,6 +685,36 @@ def gather_token_row_cached(
         # test_decode_kernel force-routes the decode kernel on CPU by
         # patching default_backend, and this helper must then interpret.
         interpret = jax.devices()[0].platform != "tpu"
+
+    if layer is None:
+        idx = jnp.asarray(row, jnp.int32).reshape((1,))
+
+        def kern_all(idx_ref, in_ref, out_ref):
+            del idx_ref
+            out_ref[...] = in_ref[:, :, 0]
+
+        return pl.pallas_call(
+            kern_all,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(L,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, B, 1, hkv, d),
+                        lambda l, idx_ref: (l, 0, idx_ref[0], 0, 0),
+                    )
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, B, hkv, d), lambda l, idx_ref: (l, 0, 0, 0)
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((L, B, hkv, d), buf.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(idx, buf)
+
     idx = jnp.stack(
         [
             jnp.asarray(layer, jnp.int32).reshape(()),

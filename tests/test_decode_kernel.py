@@ -456,3 +456,21 @@ def test_gather_token_row_cached_interpret():
         np.testing.assert_array_equal(
             np.asarray(got), np.asarray(buf[li, :, row])
         )
+
+
+def test_gather_token_row_cached_all_layers_interpret():
+    """layer=None form (the batched decode write's RMW read): must return
+    buf[:, :, row] for every layer."""
+    from hydragen_tpu.ops.decode import gather_token_row_cached
+
+    rng = np.random.RandomState(1)
+    buf = jnp.asarray(
+        rng.randint(-128, 128, (3, 16, 72, 8, 128)), jnp.int8
+    )
+    for row in (0, 71, 37):
+        got = gather_token_row_cached(
+            None, jnp.int32(row), buf, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(buf[:, :, row])
+        )
