@@ -474,3 +474,58 @@ def test_gather_token_row_cached_all_layers_interpret():
         np.testing.assert_array_equal(
             np.asarray(got), np.asarray(buf[:, :, row])
         )
+
+
+def test_engine_int4_inplace_write_routes_gather_kernel():
+    """On a (patched) TPU backend the in-place int4 decode write must read
+    the nibble RMW's byte row through gather_token_row_cached — the XLA
+    dynamic-slice alternative skews the whole cache's layout assignment
+    into per-step 2.25 GB relayout copies at some buffer shapes
+    (results/r5_measure/probe_layout*.log)."""
+    from hydragen_tpu.core.engine import HydragenLlama, SharedCacheOp
+    from hydragen_tpu.models.config import ModelConfig
+    from hydragen_tpu.models.llama import init_params
+    import hydragen_tpu.models.llama as mllama
+    import hydragen_tpu.core.engine as meng
+    import hydragen_tpu.ops.decode as dec
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=512, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        dtype="float32",
+    )
+    # int8 weights => the decode loop takes the in-place per-layer path.
+    params = init_params(cfg, jax.random.PRNGKey(0), quantized="int8")
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, 255, (1, 16)).astype(np.int32)
+
+    calls = {"n": 0}
+    real = dec.gather_token_row_cached
+    real_att = dec.decode_attention_cached
+
+    def counting(layer, row, buf, **kw):
+        calls["n"] += 1
+        kw["interpret"] = True
+        return real(layer, row, buf, **kw)
+
+    def att_interp(*a, **kw):
+        kw["interpret"] = True
+        return real_att(*a, **kw)
+
+    dec.gather_token_row_cached = counting
+    dec.decode_attention_cached = att_interp
+    orig_backend = jax.default_backend
+    mllama.jax.default_backend = lambda: "tpu"
+    try:
+        eng = HydragenLlama(cfg, params, quantization="int8")
+        eng.setup_caches(4, 16, [1], [16], kv_quant="int4", unique_bshd=True)
+        out = eng.generate(
+            input_ids=[prompt], num_return_sequences=4, max_new_tokens=4,
+            temperature=0.0, shared_cache_op=SharedCacheOp.WIPE,
+        )
+        assert out.shape == (4, 4)
+    finally:
+        mllama.jax.default_backend = orig_backend
+        dec.gather_token_row_cached = real
+        dec.decode_attention_cached = real_att
+    assert calls["n"] > 0, "in-place int4 write did not route the gather kernel"

@@ -223,3 +223,22 @@ def test_flash_2d_scale_blocks_lower():
         jnp.int32(1), qf, k_all, k_all, jnp.full((1,), 2048, jnp.int32),
         sc_all, sc_all,
     )
+
+
+def test_gather_token_row_lowers():
+    """Both forms of the int4 decode-write RMW row read at the 7B sweep
+    shape (layer-select and all-layers; the all-layers form grids over L —
+    a single [L, B, 1, hkv, d] block would exceed scoped VMEM)."""
+    from functools import partial
+
+    from hydragen_tpu.ops.decode import gather_token_row_cached
+
+    buf = jnp.zeros((32, 256, 72, 32, 128), jnp.int8)
+    _lower(
+        partial(gather_token_row_cached, interpret=False),
+        jnp.int32(3), jnp.int32(41), buf,
+    )
+    _lower(
+        partial(gather_token_row_cached, None, interpret=False),
+        jnp.int32(41), buf,
+    )
